@@ -1,0 +1,32 @@
+"""Test harness config: force an 8-device virtual CPU platform for every test.
+
+Multi-chip sharding paths (Mesh/pjit/shard_map) are validated on virtual CPU
+devices; the real TPU is exercised by bench.py / the driver's compile checks.
+Must set the env vars before the first jax import anywhere in the process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1337)
+
+
+@pytest.fixture(scope="session")
+def bundled_wav():
+    path = ("/root/reference/musb_005_angela thomas wade_audio_model_without_"
+            "context_cut_28234samples_61002samples_93770samples_126538.wav")
+    if not os.path.exists(path):
+        pytest.skip("bundled reference WAV not available")
+    return path

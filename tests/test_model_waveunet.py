@@ -1,0 +1,115 @@
+"""Wave-U-Net model tests: shapes, param counts, variant behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from waveunet_tpu.config import get_config
+from waveunet_tpu.models import waveunet as wu
+from waveunet_tpu.ops import shapes
+
+
+def _tiny(preset, **kw):
+    """Shrink a preset to a fast test size (4 layers, small frames)."""
+    return get_config(preset, num_layers=4, num_frames=512, **kw)
+
+
+@pytest.mark.parametrize("preset", ["baseline", "baseline_diff"])
+def test_same_padding_shapes(preset):
+    cfg = _tiny(preset)
+    inp, out = shapes.get_padding(cfg, cfg.num_frames)
+    params = wu.init_waveunet(jax.random.PRNGKey(0), cfg)
+    mix = jnp.zeros((2, inp, cfg.num_channels))
+    y = wu.apply_waveunet(params, cfg, mix, training=True)
+    assert set(y) == set(cfg.source_names)
+    for v in y.values():
+        assert v.shape == (2, out, cfg.num_channels)
+
+
+@pytest.mark.parametrize("preset", ["baseline_context", "full"])
+def test_context_shapes(preset):
+    cfg = _tiny(preset)
+    inp, out = shapes.get_padding(cfg, cfg.num_frames)
+    params = wu.init_waveunet(jax.random.PRNGKey(0), cfg)
+    mix = jnp.zeros((1, inp, cfg.num_channels))
+    y = wu.apply_waveunet(params, cfg, mix, training=False)
+    for v in y.values():
+        assert v.shape == (1, out, cfg.num_channels)
+
+
+def test_param_count_matches_reference():
+    """All published Wave-U-Net variants are ~10.2-10.3M params (SURVEY.md §2)."""
+    for preset, lo, hi in [("baseline", 10.0e6, 10.4e6),
+                           ("full", 10.0e6, 10.4e6)]:
+        cfg = get_config(preset)
+        params = wu.init_waveunet(jax.random.PRNGKey(0), cfg)
+        n = wu.num_params(params)
+        assert lo < n < hi, (preset, n)
+
+
+def test_difference_output_sums_to_mix(rng):
+    """Difference output: sum of all sources == centre-cropped mix (training mode,
+    no clipping) — `OutputLayer.py:11-23`."""
+    cfg = _tiny("baseline_diff")
+    inp, out = shapes.get_padding(cfg, cfg.num_frames)
+    params = wu.init_waveunet(jax.random.PRNGKey(1), cfg)
+    mix = jnp.asarray(rng.standard_normal((2, inp, 1)).astype(np.float32))
+    y = wu.apply_waveunet(params, cfg, mix, training=True)
+    total = sum(y.values())
+    np.testing.assert_allclose(np.asarray(total), np.asarray(mix), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_difference_clips_at_inference(rng):
+    cfg = _tiny("baseline_diff", output_activation="linear")
+    inp, _ = shapes.get_padding(cfg, cfg.num_frames)
+    params = wu.init_waveunet(jax.random.PRNGKey(1), cfg)
+    mix = jnp.asarray(10.0 * rng.standard_normal((1, inp, 1)).astype(np.float32))
+    y = wu.apply_waveunet(params, cfg, mix, training=False)
+    for v in y.values():
+        assert float(jnp.max(jnp.abs(v))) <= 1.0 + 1e-6
+
+
+def test_tanh_bounds(rng):
+    cfg = _tiny("baseline")
+    inp, _ = shapes.get_padding(cfg, cfg.num_frames)
+    params = wu.init_waveunet(jax.random.PRNGKey(2), cfg)
+    mix = jnp.asarray(rng.standard_normal((1, inp, 1)).astype(np.float32))
+    y = wu.apply_waveunet(params, cfg, mix, training=True)
+    for v in y.values():
+        assert float(jnp.max(jnp.abs(v))) <= 1.0
+
+
+def test_jit_compiles():
+    cfg = _tiny("baseline_context")
+    inp, out = shapes.get_padding(cfg, cfg.num_frames)
+    params = wu.init_waveunet(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def fwd(p, x):
+        return wu.apply_waveunet(p, cfg, x, training=False)
+
+    y = fwd(params, jnp.zeros((1, inp, cfg.num_channels)))
+    assert y[cfg.source_names[0]].shape == (1, out, cfg.num_channels)
+
+
+def test_grad_flows():
+    cfg = _tiny("full")  # learned upsampling included
+    inp, out = shapes.get_padding(cfg, cfg.num_frames)
+    params = wu.init_waveunet(jax.random.PRNGKey(0), cfg)
+    # NB: must be non-constant input — a spatially constant feature map makes the
+    # learned-interp weight gradient identically zero (w*x + (1-w)*x == x).
+    mix = jax.random.normal(jax.random.PRNGKey(3), (1, inp, cfg.num_channels)) * 0.1
+    target = jnp.zeros((1, out, cfg.num_channels))
+
+    def loss(p):
+        y = wu.apply_waveunet(p, cfg, mix, training=True)
+        return sum(jnp.mean((y[n] - target) ** 2) for n in cfg.source_names)
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+    # at least one nonzero grad per layer family
+    assert any(float(jnp.max(jnp.abs(x))) > 0 for x in flat)
+    assert float(jnp.max(jnp.abs(g["interp_0"]["weights"]))) > 0

@@ -1,0 +1,75 @@
+"""Shape-algebra tests: get_padding exactness + forward round-trip.
+
+Golden values derive from the reference formulas (`UnetAudioSeparator.py:34-83`);
+SURVEY.md §3.5 documents the canonical context-model walk: desired 16384 =>
+input 147443 / output 16389.
+"""
+
+import pytest
+
+from waveunet_tpu.config import get_config, preset_names
+from waveunet_tpu.ops import shapes
+
+
+def test_no_context_passthrough():
+    cfg = get_config("baseline")
+    assert shapes.get_padding(cfg, 16384) == (16384, 16384)
+    assert shapes.context_pad(cfg, 16384) == 0
+
+
+def test_context_golden_16384():
+    # SURVEY.md §3.5: 12 layers, filters 15/5/1, desired 16384.
+    cfg = get_config("baseline_context")
+    inp, out = shapes.get_padding(cfg, 16384)
+    assert (inp, out) == (147443, 16389)
+
+
+def test_context_output_at_least_desired():
+    for name in preset_names():
+        cfg = get_config(name)
+        if cfg.network != "unet":
+            continue
+        inp, out = shapes.get_padding(cfg, cfg.num_frames)
+        assert out >= cfg.num_frames
+        assert inp >= out
+        # Reference asserts even total padding (`Test.py:25`).
+        assert (inp - out) % 2 == 0, name
+
+
+@pytest.mark.parametrize("preset", [
+    "baseline_context", "full", "full_44KHz", "full_multi_instrument",
+    "baseline_context_smallfilter_deep", "baseline_comparison",
+])
+def test_forward_roundtrip_context(preset):
+    """get_padding's inverse walk must agree with a forward length simulation."""
+    cfg = get_config(preset)
+    inp, out = shapes.get_padding(cfg, cfg.num_frames)
+    assert shapes.forward_output_len(cfg, inp) == out
+
+
+def test_forward_roundtrip_same_padding():
+    cfg = get_config("baseline")
+    assert shapes.forward_output_len(cfg, 16384) == 16384
+
+
+@pytest.mark.parametrize("frames", [4000, 8192, 16384, 44100, 100000])
+def test_roundtrip_many_sizes(frames):
+    cfg = get_config("baseline_context")
+    inp, out = shapes.get_padding(cfg, frames)
+    assert out >= frames
+    assert shapes.forward_output_len(cfg, inp) == out
+
+
+def test_primitive_identities():
+    assert shapes.decimate_out(101) == 51
+    assert shapes.decimate_out(100) == 50
+    assert shapes.down_out(100, 15, True) == 86
+    assert shapes.down_out(100, 15, False) == 100
+    assert shapes.upsample_out(50, True) == 99
+    assert shapes.upsample_out(50, False) == 100
+
+
+def test_too_small_output_raises():
+    cfg = get_config("baseline_context")
+    with pytest.raises(ValueError):
+        shapes.get_padding(cfg, 1)

@@ -1,0 +1,123 @@
+"""Static shape algebra for the Wave-U-Net stack.
+
+Reimplements (bit-exactly) the valid-convolution shape bookkeeping of the reference's
+``UnetAudioSeparator.get_padding`` (`/root/reference/Models/UnetAudioSeparator.py:34-83`)
+as pure-Python integer arithmetic. Everything downstream — window framing, dataset
+context padding, inference stitching — hangs off these two numbers, so they are unit
+tested with round-trip property checks (tests/test_shapes.py).
+
+Per-layer identities (reference lines in parentheses):
+  down conv (valid):      out = in - filter_size + 1          (:98)
+  decimate by 2:          out = (in - 1) // 2 + 1             (:100)
+  upsample (context):     out = 2 * in - 1                    (:115)
+  upsample (no context):  out = 2 * in                        (:117)
+  merge conv (valid):     out = in - merge_filter_size + 1    (:123)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+from waveunet_tpu.config import Config
+
+
+def down_out(n: int, filt: int, valid: bool) -> int:
+    """Length after one valid/same conv of width `filt`."""
+    return n - filt + 1 if valid else n
+
+
+def decimate_out(n: int) -> int:
+    """Length after x[::2] decimation."""
+    return (n - 1) // 2 + 1
+
+
+def upsample_out(n: int, context: bool) -> int:
+    """Length after the x2 upsampling stage (2n-1 aligned-corners if context)."""
+    return 2 * n - 1 if context else 2 * n
+
+
+def get_padding(cfg: Config, num_frames: int) -> Tuple[int, int]:
+    """Compute (input_len, output_len) in samples for a desired output length.
+
+    For ``context=False`` shapes pass straight through (same-padding network,
+    `UnetAudioSeparator.py:83`). For ``context=True`` this walks the desired output
+    back to the bottleneck feature-map size, rounds up, then walks forward through
+    both the up path (output) and down path (input) exactly as
+    `UnetAudioSeparator.py:41-81` does.
+    """
+    if not cfg.context:
+        return num_frames, num_frames
+
+    # Walk output -> bottleneck (`:43-54`). Uses float math + ceil like the
+    # reference so rounding matches exactly.
+    rem = float(num_frames)
+    rem = rem - cfg.output_filter_size + 1
+    for _ in range(cfg.num_layers):
+        rem = rem + cfg.merge_filter_size - 1
+        rem = (rem + 1.0) / 2.0
+    x = int(math.ceil(rem))
+    if x < 2:
+        raise ValueError(
+            f"desired output {num_frames} too small for {cfg.num_layers} layers")
+
+    # Walk bottleneck -> input/output (`:57-76`).
+    output_len = x
+    input_len = x + cfg.filter_size - 1  # bottleneck conv
+    for i in range(cfg.num_layers):
+        output_len = 2 * output_len - 1                       # upsample
+        output_len = output_len - cfg.merge_filter_size + 1   # merge conv
+        input_len = 2 * input_len - 1                         # inverse decimation
+        if i < cfg.num_layers - 1:
+            input_len = input_len + cfg.filter_size - 1       # down conv
+        else:
+            input_len = input_len + cfg.input_filter_size - 1 # first down conv
+    output_len = output_len - cfg.output_filter_size + 1
+
+    return int(input_len), int(output_len)
+
+
+def forward_output_len(cfg: Config, input_len: int) -> int:
+    """Simulate the forward pass length arithmetic: input length -> output length.
+
+    This is the ground-truth check that `get_padding`'s inverse walk matches what the
+    network actually produces (`UnetAudioSeparator.py:97-127` identities).
+    Raises ValueError if any intermediate map would be non-positive.
+    """
+    valid = cfg.context
+    n = input_len
+    skips = []
+    for i in range(cfg.num_layers):
+        filt = cfg.input_filter_size if i == 0 else cfg.filter_size
+        n = down_out(n, filt, valid)
+        if n < 1:
+            raise ValueError("feature map vanished in down path")
+        skips.append(n)
+        n = decimate_out(n)
+    n = down_out(n, cfg.filter_size, valid)  # bottleneck conv
+    if n < 1:
+        raise ValueError("feature map vanished at bottleneck")
+    for i in range(cfg.num_layers):
+        n = upsample_out(n, cfg.context)
+        skip_n = skips[-i - 1]
+        if cfg.context:
+            if skip_n < n:
+                raise ValueError("skip connection shorter than upsampled map")
+            n = n  # crop_and_concat crops the skip to n, length stays n
+        else:
+            if skip_n != n:
+                raise ValueError(f"same-padding skip mismatch {skip_n} vs {n}")
+        n = down_out(n, cfg.merge_filter_size, valid)
+        if n < 1:
+            raise ValueError("feature map vanished in up path")
+    n = down_out(n, cfg.output_filter_size, valid)
+    return n
+
+
+def context_pad(cfg: Config, num_frames: int) -> int:
+    """Number of context samples padded at each end: (input - output) // 2.
+
+    Mirrors `Datasets.py:47-49` and `Evaluate.py:121`.
+    """
+    inp, out = get_padding(cfg, num_frames)
+    return (inp - out) // 2

@@ -1,0 +1,161 @@
+"""Training driver: epoch loop, early-stopping optimiser, resume.
+
+Pure-Python control flow around jitted steps, mirroring the reference driver:
+  * ``train_epochs``: N steps per epoch then checkpoint
+    (`/root/reference/Training.py:100-113` — 2000 sess.run calls/epoch become
+    2000 dispatches of one compiled program with host prefetch overlapped).
+  * ``evaluate``: running-mean validation loss over a deterministic pass
+    (`/root/reference/Test.py:73-87`).
+  * ``optimise``: two rounds — round 2 doubles batch size and drops lr to 1e-5 —
+    each early-stopped after ``worse_epochs`` non-improving validation epochs;
+    finishes with a test-partition evaluation
+    (`/root/reference/Training.py:123-150`).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waveunet_tpu.config import Config
+from waveunet_tpu.data.pipeline import BatchPipeline
+from waveunet_tpu.models.waveunet import init_waveunet, num_params
+from waveunet_tpu.ops import shapes
+from waveunet_tpu.train import checkpoint as ckpt
+from waveunet_tpu.train.metrics import MetricLogger
+from waveunet_tpu.train.step import make_eval_step, make_train_step
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int
+
+
+def init_state(cfg: Config, rng=None) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    if cfg.network == "unet":
+        params = init_waveunet(rng, cfg)
+    else:
+        from waveunet_tpu.models.spectrogram_unet import init_spectrogram_unet
+        params = init_spectrogram_unet(rng, cfg)
+    init_opt, _ = make_train_step(cfg, cfg.init_sup_sep_lr)
+    return TrainState(params=params, opt_state=init_opt(params), step=0)
+
+
+def train_one_epoch(cfg: Config, state: TrainState, step_fn,
+                    batches: Iterator[Dict[str, np.ndarray]],
+                    logger: Optional[MetricLogger] = None) -> Tuple[TrainState, float]:
+    params, opt_state = state.params, state.opt_state
+    losses = []
+    t0 = time.time()
+    for it in range(cfg.epoch_it):
+        batch = next(batches)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+        if logger is not None and (it % 50 == 0 or it == cfg.epoch_it - 1):
+            logger.log(state.step + it, sep_loss=float(loss))
+        losses.append(loss)
+    mean_loss = float(jnp.mean(jnp.stack(losses)))
+    dt = time.time() - t0
+    if logger is not None:
+        logger.log(state.step + cfg.epoch_it, epoch_mean_loss=mean_loss,
+                   steps_per_sec=cfg.epoch_it / dt)
+    return TrainState(params, opt_state, state.step + cfg.epoch_it), mean_loss
+
+
+def evaluate(cfg: Config, params, eval_step,
+             batches: Iterator[Dict[str, np.ndarray]]) -> float:
+    """Running-mean loss over one deterministic pass (`Test.py:73-79`)."""
+    total, n = 0.0, 0
+    for batch in batches:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        loss = float(eval_step(params, batch))
+        n += 1
+        total += (loss - total) / n
+    return total
+
+
+def optimise(cfg: Config, experiment_id: Optional[str] = None,
+             mesh: Optional[jax.sharding.Mesh] = None,
+             resume_path: Optional[str] = None,
+             max_epochs_per_round: Optional[int] = None) -> Tuple[str, float]:
+    """Full early-stopped two-round training. Returns (best_ckpt_path, test_loss)."""
+    if experiment_id is None:
+        experiment_id = str(np.random.randint(0, 1_000_000))
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    logger = MetricLogger(cfg.log_dir, experiment_id)
+
+    state = init_state(cfg)
+    print(f"Sep_Vars: {num_params(state.params)}")
+    if resume_path:
+        restored = ckpt.restore_checkpoint(resume_path, like={
+            "params": state.params, "opt_state": state.opt_state, "step": 0})
+        state = TrainState(restored["params"], restored["opt_state"],
+                           int(restored["step"]))
+
+    best_loss = float("inf")
+    best_path = None
+    epoch = 0
+    round_cfgs = [cfg, cfg.replace(batch_size=cfg.batch_size * 2,
+                                   init_sup_sep_lr=1e-5)]
+    for rnd, rcfg in enumerate(round_cfgs):
+        if rnd == 1:
+            print("Finished first round of training, entering fine-tuning stage")
+        init_opt, step_fn = make_train_step(rcfg, rcfg.init_sup_sep_lr, mesh=mesh)
+        eval_step = make_eval_step(rcfg, mesh=mesh)
+        # Fresh optimiser slots per round (the reference rebuilds the Adam graph
+        # with the new lr each epoch, `Training.py:77,137`).
+        state = TrainState(state.params, init_opt(state.params), state.step)
+
+        train_pipe = BatchPipeline(rcfg, "train", in_len, out_len,
+                                   seed=rcfg.seed + rnd)
+        train_it = train_pipe.prefetched(train_pipe.train_batches())
+
+        worse = 0
+        epochs_this_round = 0
+        while worse < rcfg.worse_epochs:
+            if (max_epochs_per_round is not None
+                    and epochs_this_round >= max_epochs_per_round):
+                break
+            print(f"EPOCH: {epoch}")
+            state, train_loss = train_one_epoch(rcfg, state, step_fn, train_it,
+                                                logger)
+            path = ckpt.save_checkpoint(cfg.model_base_dir, experiment_id,
+                                        state.step, {
+                                            "params": state.params,
+                                            "opt_state": state.opt_state,
+                                            "step": state.step,
+                                        })
+            valid_pipe = BatchPipeline(rcfg, "valid", in_len, out_len,
+                                       seed=rcfg.seed)
+            curr = evaluate(rcfg, state.params, eval_step,
+                            valid_pipe.eval_batches())
+            logger.log(state.step, valid_loss=curr)
+            epoch += 1
+            epochs_this_round += 1
+            if curr < best_loss:
+                print(f"Validation improved {best_loss} -> {curr}")
+                best_loss, best_path, worse = curr, path, 0
+            else:
+                worse += 1
+                print(f"Validation worsened to {curr}")
+
+    print(f"TRAINING FINISHED - testing best model {best_path}")
+    if best_path is not None:
+        restored = ckpt.restore_checkpoint(best_path)
+        params = restored["params"]
+    else:
+        params = state.params
+    eval_step = make_eval_step(cfg, mesh=mesh)
+    test_pipe = BatchPipeline(cfg, "test", in_len, out_len, seed=cfg.seed)
+    test_loss = evaluate(cfg, params, eval_step, test_pipe.eval_batches())
+    logger.log(state.step, test_loss=test_loss)
+    logger.close()
+    return best_path or "", test_loss
