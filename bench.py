@@ -1,0 +1,98 @@
+"""Benchmark: full-song separation throughput of the flagship full_44KHz model.
+
+Metric: audio-seconds separated per wall-second per chip (real-time factor,
+RTF) for the batched window-parallel inference engine on a synthetic
+60-second 44.1 kHz stereo song. ``vs_baseline`` is the speedup over a
+reference-style *serial batch-1 per-window* sweep of the identical model on the
+same hardware — i.e. the dispatch pattern of `/root/reference/Evaluate.py:125-139`
+re-timed on this chip, so the number isolates the engine redesign (batched
+windows, one compiled program) from the hardware change.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _timed(sep, song, sr):
+    t0 = time.perf_counter()
+    sep.separate(song, sr)
+    return time.perf_counter() - t0
+
+
+def main():
+    import os
+
+    import jax
+
+    # Persistent compile cache: repeated bench runs skip the 20-40 s XLA
+    # compiles entirely.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.infer.engine import Separator
+    from waveunet_tpu.models.waveunet import apply_waveunet, init_waveunet
+    from waveunet_tpu.ops import shapes
+
+    cfg = get_config("full_44KHz", infer_batch=16, infer_wire_dtype="int16")
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+
+    seconds = 60.0
+    sr = cfg.expected_sr
+    n = int(seconds * sr)
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / sr
+    song = (0.3 * np.sin(2 * np.pi * 440 * t)
+            + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    song = np.stack([song, song], axis=1)
+
+    sep = Separator(cfg, params)
+    # Warm-up on the full song (compiles the same length bucket) then best-of-2.
+    sep.separate(song, sr)
+    elapsed = min(_timed(sep, song, sr) for _ in range(2))
+    rtf = seconds / elapsed
+
+    # Reference-style serial baseline: batch-1 jitted forward, one dispatch per
+    # window with host round-trip each step (Evaluate.py's pattern), on a 15 s
+    # excerpt (extrapolates linearly — per-window cost is constant).
+    fwd1 = jax.jit(lambda p, x: apply_waveunet(p, cfg, x, training=False))
+    pad = (in_len - out_len) // 2
+    base_seconds = 15.0
+    bn = int(base_seconds * sr)
+    padded = np.pad(song[:bn], [(pad, pad), (0, 0)])
+    positions = list(range(0, bn, out_len))
+    # warm-up
+    jax.device_get(fwd1(params, jnp.asarray(padded[0:in_len][None])))
+    t0 = time.perf_counter()
+    for p0 in positions:
+        p0 = min(p0, bn - out_len)
+        win = jnp.asarray(padded[p0:p0 + in_len][None])
+        jax.device_get(fwd1(params, win))
+    serial_elapsed = time.perf_counter() - t0
+    serial_rtf = base_seconds / serial_elapsed
+
+    print(json.dumps({
+        "metric": "audio_seconds_separated_per_sec_per_chip",
+        "value": round(rtf, 3),
+        "unit": "audio-s/s/chip (RTF, full_44KHz separation)",
+        "vs_baseline": round(rtf / serial_rtf, 3),
+        "serial_baseline_rtf": round(serial_rtf, 3),
+        "n_devices": jax.device_count(),
+        "song_seconds": seconds,
+        "elapsed_s": round(elapsed, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,7 @@ Must set the env vars before the first jax import anywhere in the process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # env pre-sets axon (real TPU); override.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# A pytest entry-point plugin may import jax before this file sets the env
+# vars above; jax.config.update still works any time before backend init.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(scope="session")

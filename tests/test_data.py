@@ -1,0 +1,140 @@
+"""Data pipeline tests on synthetic sine-mix fixtures (no MUSDB needed)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from waveunet_tpu.config import get_config
+from waveunet_tpu.data import cache, sampler
+from waveunet_tpu.data.audio_io import load, write_wav
+from waveunet_tpu.data.pipeline import BatchPipeline
+
+
+def _synthetic_dataset(tmp_path, cfg, n_songs=3, seconds=4.0):
+    """Write sine-mix WAV 'songs' + build the npz cache for all partitions."""
+    rng = np.random.default_rng(0)
+    pad = 10
+    for part in ("train", "valid", "test"):
+        samples = []
+        for i in range(n_songs):
+            n = int(cfg.expected_sr * seconds)
+            t = np.arange(n) / cfg.expected_sr
+            tracks = {}
+            mix = np.zeros((n, cfg.num_channels), np.float32)
+            for name in cfg.source_names:
+                f = rng.uniform(100, 1000)
+                sig = 0.3 * np.sin(2 * np.pi * f * t).astype(np.float32)
+                sig = np.tile(sig[:, None], (1, cfg.num_channels))
+                tracks[name] = sig
+                mix += sig
+            tracks["mix"] = mix
+            d = tmp_path / part
+            d.mkdir(exist_ok=True, parents=True)
+            paths = {}
+            for k, v in tracks.items():
+                p = str(d / f"s{i}_{k}.wav")
+                write_wav(p, v, cfg.expected_sr, subtype="FLOAT")
+                paths[k] = p
+            samples.append(paths)
+        cache.preprocess_partition(cfg, part, samples, pad_frames=pad)
+    return pad
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    return get_config("baseline", data_path=str(tmp_path / "cache"),
+                      num_frames=1024, batch_size=4,
+                      num_snippets_per_track=8, cache_size=32)
+
+
+def test_wav_roundtrip(tmp_path):
+    x = np.clip(np.random.default_rng(0).standard_normal((1000, 2)) * 0.5,
+                -0.999, 0.999).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, 22050, subtype="FLOAT")
+    y, sr = load(p, sr=None, mono=False)
+    assert sr == 22050
+    np.testing.assert_allclose(y, x, atol=1e-6)
+
+    write_wav(p, x, 22050, subtype="PCM_16")
+    y, _ = load(p, sr=None, mono=False)
+    # write scales by 32767 (rounded), read divides by 32768: ~2 LSB worst case
+    np.testing.assert_allclose(y, x, atol=2.0 / 32768)
+
+
+def test_cache_and_padding(tmp_path, cfg):
+    pad = _synthetic_dataset(tmp_path / "wavs", cfg)
+    songs = cache.list_songs(cfg, "train")
+    assert len(songs) == 3
+    tracks = cache.load_song(songs[0])
+    assert set(tracks) == {"accompaniment", "vocals", "mix"}
+    n = tracks["mix"].shape[0]
+    # context padding applied on both ends
+    np.testing.assert_array_equal(tracks["mix"][:pad], 0.0)
+    np.testing.assert_array_equal(tracks["mix"][-pad:], 0.0)
+    assert n == int(cfg.expected_sr * 4.0) + 2 * pad
+
+
+def test_snippet_positions():
+    rng = np.random.default_rng(0)
+    pos = sampler.random_snippet_positions(rng, 1000, 100, 50)
+    assert pos.min() >= 0 and pos.max() < 900
+    pos = sampler.sequential_snippet_positions(1000, 300, 100)
+    np.testing.assert_array_equal(pos, np.arange(0, 700, 100))
+
+
+def test_random_amplify_consistency():
+    rng = np.random.default_rng(0)
+    s = {"a": np.ones((4, 10, 1), np.float32),
+         "b": 2 * np.ones((4, 10, 1), np.float32)}
+    out = sampler.random_amplify(s, rng, ["a", "b"])
+    np.testing.assert_allclose(out["mix"], out["a"] + out["b"], rtol=1e-6)
+    assert np.all(out["a"] >= 0.7 - 1e-6) and np.all(out["a"] <= 1.0 + 1e-6)
+
+
+def test_train_batches(tmp_path, cfg):
+    _synthetic_dataset(tmp_path / "wavs", cfg)
+    in_len = out_len = cfg.num_frames  # same-padding model
+    pipe = BatchPipeline(cfg, "train", in_len, out_len, seed=1)
+    it = pipe.train_batches()
+    for _ in range(3):
+        b = next(it)
+        assert set(b) == {"accompaniment", "vocals", "mix"}
+        for v in b.values():
+            assert v.shape == (4, in_len, 1)
+        # augmentation preserves mix = sum(sources)
+        np.testing.assert_allclose(b["mix"], b["accompaniment"] + b["vocals"],
+                                   atol=1e-5)
+
+
+def test_eval_batches_deterministic(tmp_path, cfg):
+    _synthetic_dataset(tmp_path / "wavs", cfg)
+    in_len = out_len = cfg.num_frames
+    pipe = BatchPipeline(cfg, "valid", in_len, out_len, seed=1)
+    b1 = list(pipe.eval_batches())
+    b2 = list(BatchPipeline(cfg, "valid", in_len, out_len,
+                            seed=2).eval_batches())
+    assert len(b1) == len(b2) > 0
+    np.testing.assert_array_equal(b1[0]["mix"], b2[0]["mix"])
+
+
+def test_target_crop(tmp_path):
+    cfg = get_config("baseline_context", data_path=str(tmp_path / "cache"),
+                     num_frames=1024, batch_size=2, num_snippets_per_track=4,
+                     cache_size=8, num_layers=4)
+    from waveunet_tpu.ops import shapes
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    _synthetic_dataset(tmp_path / "wavs", cfg, seconds=2.0)
+    pipe = BatchPipeline(cfg, "train", in_len, out_len, seed=0)
+    b = next(pipe.train_batches())
+    assert b["mix"].shape[1] == in_len
+    assert b["vocals"].shape[1] == out_len
+
+
+def test_host_sharding(tmp_path, cfg):
+    _synthetic_dataset(tmp_path / "wavs", cfg)
+    p0 = BatchPipeline(cfg, "train", 1024, 1024, host_id=0, num_hosts=2)
+    p1 = BatchPipeline(cfg, "train", 1024, 1024, host_id=1, num_hosts=2)
+    assert set(p0.paths).isdisjoint(p1.paths)
+    assert len(p0.paths) + len(p1.paths) == 3

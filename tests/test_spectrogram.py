@@ -1,0 +1,88 @@
+"""Spectrogram U-Net (U7/U7a) tests on a shrunken config."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from waveunet_tpu.config import get_config
+from waveunet_tpu.models.spectrogram_unet import (apply_spectrogram_unet,
+                                                  init_spectrogram_unet)
+
+# 3 layers; 16 time frames (768*15+1024 samples) x 512 freqs halve cleanly.
+_CFG = get_config("unet_spectrogram", num_layers=3,
+                  num_frames=768 * 15 + 1024, batch_size=1)
+
+
+@pytest.fixture(scope="module")
+def model():
+    params, state = init_spectrogram_unet(jax.random.PRNGKey(0), _CFG)
+    return params, state
+
+
+def test_audio_output_shapes(model, rng):
+    params, state = model
+    mix = jnp.asarray(rng.standard_normal(
+        (1, _CFG.num_frames, 1)).astype(np.float32))
+    out, new_state = apply_spectrogram_unet(params, _CFG, mix, training=False,
+                                            state=state)
+    assert set(out) == {"accompaniment", "vocals"}
+    for v in out.values():
+        assert v.shape == (1, _CFG.num_frames, 1)  # hop*(F-1)+frame == input
+    # eval mode must not touch moving stats
+    for k in state:
+        np.testing.assert_array_equal(np.asarray(new_state[k]["mean"]),
+                                      np.asarray(state[k]["mean"]))
+
+
+def test_magnitude_output_and_mask_range(model, rng):
+    params, state = model
+    mix = jnp.asarray(rng.standard_normal(
+        (1, _CFG.num_frames, 1)).astype(np.float32))
+    mags, _ = apply_spectrogram_unet(params, _CFG, mix, training=False,
+                                     state=state, return_spectrogram=True)
+    from waveunet_tpu.ops.stft import stft_magnitude
+    mix_mag = np.asarray(stft_magnitude(mix[..., 0]))
+    for v in mags.values():
+        assert v.shape == (1, 16, 513)
+        # mask in (0,1): source magnitude cannot exceed mixture magnitude
+        assert np.all(np.asarray(v) <= mix_mag + 1e-5)
+        assert np.all(np.asarray(v) >= 0)
+
+
+def test_training_updates_bn_stats(model, rng):
+    params, state = model
+    mix = jnp.asarray(rng.standard_normal(
+        (2, _CFG.num_frames, 1)).astype(np.float32))
+    _, new_state = apply_spectrogram_unet(params, _CFG, mix, training=True,
+                                          state=state,
+                                          rng=jax.random.PRNGKey(1))
+    moved = any(
+        float(jnp.max(jnp.abs(new_state[k]["mean"] - state[k]["mean"]))) > 0
+        for k in state)
+    assert moved
+
+
+def test_grad_flows_through_stft(model, rng):
+    params, state = model
+    mix = jnp.asarray(rng.standard_normal(
+        (1, _CFG.num_frames, 1)).astype(np.float32))
+    target = jnp.zeros_like(mix)
+
+    def loss(p):
+        out, _ = apply_spectrogram_unet(p, _CFG, mix, training=True,
+                                        state=state,
+                                        rng=jax.random.PRNGKey(0))
+        return sum(jnp.mean(jnp.square(out[n] - target))
+                   for n in _CFG.source_names)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    assert any(float(jnp.max(jnp.abs(x))) > 0 for x in leaves)
+
+
+def test_stereo_config_rejected():
+    cfg = get_config("unet_spectrogram", mono_downmix=False)
+    with pytest.raises(NotImplementedError):
+        init_spectrogram_unet(jax.random.PRNGKey(0), cfg)

@@ -77,6 +77,9 @@ class Config:
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)
     infer_batch: int = 16  # windows per device batch in the inference engine
+    # Host->device wire format for full songs: "float32" (exact) or "int16"
+    # (2x less transfer; bit-exact for PCM16-derived audio).
+    infer_wire_dtype: str = "float32"
 
     # --- derived (computed in __post_init__) ---
     source_names: Tuple[str, ...] = dataclasses.field(default=(), init=False)

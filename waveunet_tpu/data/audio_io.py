@@ -82,7 +82,7 @@ def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "PCM_16"):
         audio = audio[:, None]
     if subtype == "PCM_16":
         pcm = np.clip(audio, -1.0, 1.0)
-        pcm = (pcm * 32767.0).astype("<i2")
+        pcm = np.round(pcm * 32767.0).astype("<i2")
         with wave.open(path, "wb") as w:
             w.setnchannels(audio.shape[1])
             w.setsampwidth(2)

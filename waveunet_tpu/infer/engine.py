@@ -59,7 +59,7 @@ class Separator:
     Wave-U-Net forward in inference mode; the spectrogram model plugs in its own.
     """
 
-    def __init__(self, cfg: Config, params,
+    def __init__(self, cfg: Config, params, model_state=None,
                  forward_fn: Optional[Callable] = None,
                  mesh: Optional[jax.sharding.Mesh] = None):
         self.cfg = cfg
@@ -67,31 +67,64 @@ class Separator:
         self.in_len, self.out_len = shapes.get_padding(cfg, cfg.num_frames)
         self.pad = (self.in_len - self.out_len) // 2
         self.mesh = mesh
+        self._stitch_cache = {}
         n_dev = 1 if mesh is None else mesh.size
         # Per-sweep device batch: windows per step across the whole mesh.
         self.batch = max(1, cfg.infer_batch) * n_dev
 
         if forward_fn is None:
-            def forward_fn(p, x):
-                return apply_waveunet(p, cfg, x, training=False)
+            if cfg.network == "unet":
+                def forward_fn(p, x):
+                    return apply_waveunet(p, cfg, x, training=False)
+            else:
+                from waveunet_tpu.models.spectrogram_unet import (
+                    apply_spectrogram_unet)
+                mstate = model_state or {}
+
+                def forward_fn(p, x):
+                    out, _ = apply_spectrogram_unet(p, cfg, x, training=False,
+                                                    state=mstate)
+                    # iSTFT output is hop*(F-1)+frame_len samples; pad back to
+                    # the window length so stitching shapes stay uniform.
+                    short = self.out_len - out[cfg.source_names[0]].shape[1]
+                    if short > 0:
+                        out = {k: jnp.pad(v, [(0, 0), (0, short), (0, 0)])
+                               for k, v in out.items()}
+                    return out
+
+        self._forward_fn = forward_fn
+
+        # The song is shipped to the device ONCE and windows are framed
+        # on-device via vmapped dynamic_slice (measured free vs the forward
+        # pass; an index-matrix gather costs ~2x, and host-side framing would
+        # send ~in_len/out_len (≈9x) redundant H2D traffic).
+        in_len = self.in_len
+        n_ch = cfg.num_channels
+        wire = cfg.infer_wire_dtype
+
+        def chunk_fwd(params, song, pos):
+            # song: [T, C] padded mixture (possibly int16-quantised for the
+            # host->device wire); pos: [batch] window starts.
+            if song.dtype == jnp.int16:
+                song = song.astype(jnp.float32) / 32767.0
+            wins = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(song, (s, 0), (in_len, n_ch))
+            )(pos)
+            return forward_fn(params, wins)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            data_axes = mesh.axis_names
-            x_sharding = NamedSharding(mesh, P(data_axes, None, None))
             rep = NamedSharding(mesh, P())
-            self._fwd = jax.jit(
-                forward_fn,
-                in_shardings=(rep, x_sharding),
-                out_shardings=x_sharding)
-        else:
-            self._fwd = jax.jit(forward_fn)
-
-        # Device-resident params (replicated when on a mesh).
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            rep = NamedSharding(mesh, P())
+            pos_shard = NamedSharding(mesh, P(mesh.axis_names))
+            out_shard = NamedSharding(mesh, P(mesh.axis_names, None, None))
+            self._fwd = jax.jit(chunk_fwd,
+                                in_shardings=(rep, rep, pos_shard),
+                                out_shardings=out_shard)
             self.params = jax.device_put(params, rep)
+            self._song_sharding = rep
+        else:
+            self._fwd = jax.jit(chunk_fwd)
+            self._song_sharding = None
 
     # -- full-song separation -------------------------------------------------
     def separate(self, mix_audio: np.ndarray, mix_sr: int) -> Dict[str, np.ndarray]:
@@ -116,39 +149,104 @@ class Separator:
         n_total = mix_audio.shape[0]
         padded = np.pad(mix_audio, [(self.pad, self.pad), (0, 0)])
         positions = window_positions(n_total, self.out_len)
-        windows = frame_windows(padded, positions, self.in_len)
-        outs = self._run_batched(windows)
-
-        # Stitch (in order: later windows overwrite, matching `:139`).
-        preds = {}
-        for name, src_wins in outs.items():
-            buf = np.zeros_like(mix_audio)
-            for i, p in enumerate(positions):
-                buf[p:p + self.out_len] = src_wins[i]
-            if extra_pad > 0:
-                buf = buf[:-extra_pad]
-            preds[name] = buf
+        preds = self._run_batched(padded, positions, n_total)
+        if extra_pad > 0:
+            preds = {k: v[:-extra_pad] for k, v in preds.items()}
         return preds
 
-    def _run_batched(self, windows: np.ndarray) -> Dict[str, np.ndarray]:
-        """Sweep [n_win, in_len, ch] through the jitted forward in fixed-shape
-        chunks (pad the tail chunk; static shapes keep XLA to one program)."""
-        n_win = windows.shape[0]
+    # Songs are length-bucketed so the jitted program recompiles at most
+    # log-many times instead of once per song length.
+    _LEN_BUCKET = 1 << 20  # ~23.8 s at 44.1 kHz
+
+    def _run_batched(self, padded: np.ndarray, positions: np.ndarray,
+                     n_total: int) -> Dict[str, np.ndarray]:
+        """Sweep every window through the jitted on-device-framed forward and
+        stitch on device; one device->host fetch per source.
+
+        Chunks are dispatched asynchronously, overlapping H2D, compute, and the
+        final D2H. The device-side stitch reproduces the reference's serial
+        overlap semantics (`Evaluate.py:125-139`): windows are contiguous at
+        hop = out_len except the right-aligned final window, whose tail slice
+        supplies the last ``n_total - (n_win-1)*out_len`` samples.
+        """
+        n_win = positions.shape[0]
         bs = self.batch
         n_chunks = -(-n_win // bs)
-        out_chunks: Dict[str, list] = {}
+        # Pad positions (repeat last) to a whole number of chunks, and the song
+        # to a length bucket (extra zeros are never gathered: positions are
+        # bounded by n_total - out_len).
+        pos_pad = np.full((n_chunks * bs,), positions[-1], np.int32)
+        pos_pad[:n_win] = positions
+        t = padded.shape[0]
+        t_bucket = -(-t // self._LEN_BUCKET) * self._LEN_BUCKET
+        if t_bucket > t:
+            padded = np.pad(padded, [(0, t_bucket - t), (0, 0)])
+
+        wire16 = self.cfg.infer_wire_dtype == "int16"
+        if wire16:
+            # Halve the wire traffic both ways; exact for PCM16-derived
+            # sources, -96 dB quantisation floor otherwise (the output WAVs
+            # are PCM16 regardless).
+            padded = np.round(np.clip(padded, -1.0, 1.0) * 32767.0
+                              ).astype(np.int16)
+        song = jnp.asarray(padded)
+        if self._song_sharding is not None:
+            song = jax.device_put(song, self._song_sharding)
+
+        dpos = jnp.asarray(pos_pad)  # single tiny H2D; chunks slice on device
+        futures = []
         for ci in range(n_chunks):
-            chunk = windows[ci * bs:(ci + 1) * bs]
-            if chunk.shape[0] < bs:
-                pad = bs - chunk.shape[0]
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            res = self._fwd(self.params, jnp.asarray(chunk))
-            res = jax.device_get(res)
-            for name, v in res.items():
-                out_chunks.setdefault(name, []).append(v)
-        return {name: np.concatenate(vs)[:n_win]
-                for name, vs in out_chunks.items()}
+            futures.append(self._fwd(self.params, song,
+                                     jax.lax.slice(dpos, (ci * bs,),
+                                                   ((ci + 1) * bs,))))
+
+        stitch = self._get_stitch(n_chunks, n_win, n_total, wire16)
+        names, stacked = stitch(futures)
+        # Drain compute before starting the D2H pull — interleaving the fetch
+        # with in-flight compute measurably degrades the (tunneled) link. One
+        # stacked [S, n, C] array = one transfer, one fixed latency.
+        jax.block_until_ready(stacked)
+        host = np.asarray(stacked)
+        if wire16:
+            host = host.astype(np.float32) / 32767.0
+        return {name: host[i] for i, name in enumerate(names)}
+
+    def _get_stitch(self, n_chunks: int, n_win: int, n_total: int,
+                    wire16: bool):
+        key = (n_chunks, n_win, n_total, wire16)
+        fn = self._stitch_cache.get(key)
+        if fn is not None:
+            return fn
+        out_len = self.out_len
+
+        names = tuple(self.cfg.source_names)
+
+        def stitch(chunks):
+            full_all = []
+            for name in names:
+                y = jnp.concatenate([c[name] for c in chunks])[:n_win]
+                # Later windows win: the right-aligned final window overwrites
+                # its entire [n_total - out_len, n_total) span.
+                if n_win == 1:
+                    full = y[0]
+                else:
+                    main = y[:-1].reshape((n_win - 1) * out_len, y.shape[-1])
+                    main = main[:n_total - out_len]
+                    full = jnp.concatenate([main, y[-1]], axis=0)
+                full_all.append(full)
+            stacked = jnp.stack(full_all)  # [S, n_total, C]
+            if wire16:
+                stacked = jnp.round(jnp.clip(stacked, -1.0, 1.0) * 32767.0
+                                    ).astype(jnp.int16)
+            return stacked
+
+        jfn = jax.jit(stitch)
+
+        def wrapped(chunks):
+            return names, jfn(chunks)
+
+        self._stitch_cache[key] = wrapped
+        return wrapped
 
 
 def separate_file(cfg: Config, params, input_path: str,

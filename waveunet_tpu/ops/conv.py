@@ -102,9 +102,11 @@ def conv2d_transpose(x, params, *, stride: Tuple[int, int] = (2, 2),
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         k = k.astype(compute_dtype)
+    # TF kernel layout is [h, w, out, in]; with transpose_kernel=True jax swaps
+    # the I/O axes itself, so label the dims "HWIO" (I at the out_ch position).
     y = jax.lax.conv_transpose(
         x, k, strides=stride, padding=padding,
-        dimension_numbers=("NHWC", "HWOI", "NHWC"),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
         transpose_kernel=True, preferred_element_type=jnp.float32)
     y = y + b.astype(y.dtype)
     return y.astype(in_dtype)

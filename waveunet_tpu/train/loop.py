@@ -1,7 +1,7 @@
 """Training driver: epoch loop, early-stopping optimiser, resume.
 
 Pure-Python control flow around jitted steps, mirroring the reference driver:
-  * ``train_epochs``: N steps per epoch then checkpoint
+  * ``train_one_epoch``: N steps then checkpoint
     (`/root/reference/Training.py:100-113` — 2000 sess.run calls/epoch become
     2000 dispatches of one compiled program with host prefetch overlapped).
   * ``evaluate``: running-mean validation loss over a deterministic pass
@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,31 +34,40 @@ from waveunet_tpu.train.step import make_eval_step, make_train_step
 @dataclass
 class TrainState:
     params: Any
+    model_state: Any  # batch-norm moving stats ({} for the time-domain net)
     opt_state: Any
     step: int
+
+    def as_pytree(self) -> Dict[str, Any]:
+        return {"params": self.params, "model_state": self.model_state,
+                "opt_state": self.opt_state, "step": self.step}
 
 
 def init_state(cfg: Config, rng=None) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     if cfg.network == "unet":
-        params = init_waveunet(rng, cfg)
+        params, model_state = init_waveunet(rng, cfg), {}
     else:
         from waveunet_tpu.models.spectrogram_unet import init_spectrogram_unet
-        params = init_spectrogram_unet(rng, cfg)
+        params, model_state = init_spectrogram_unet(rng, cfg)
     init_opt, _ = make_train_step(cfg, cfg.init_sup_sep_lr)
-    return TrainState(params=params, opt_state=init_opt(params), step=0)
+    return TrainState(params, model_state, init_opt(params), 0)
 
 
 def train_one_epoch(cfg: Config, state: TrainState, step_fn,
                     batches: Iterator[Dict[str, np.ndarray]],
-                    logger: Optional[MetricLogger] = None) -> Tuple[TrainState, float]:
-    params, opt_state = state.params, state.opt_state
+                    logger: Optional[MetricLogger] = None,
+                    base_rng=None) -> Tuple[TrainState, float]:
+    params, mstate, opt_state = state.params, state.model_state, state.opt_state
+    base_rng = base_rng if base_rng is not None else jax.random.PRNGKey(cfg.seed)
     losses = []
     t0 = time.time()
     for it in range(cfg.epoch_it):
         batch = next(batches)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        params, opt_state, loss = step_fn(params, opt_state, batch)
+        rng = jax.random.fold_in(base_rng, state.step + it)
+        params, mstate, opt_state, loss = step_fn(params, mstate, opt_state,
+                                                  batch, rng)
         if logger is not None and (it % 50 == 0 or it == cfg.epoch_it - 1):
             logger.log(state.step + it, sep_loss=float(loss))
         losses.append(loss)
@@ -67,16 +76,17 @@ def train_one_epoch(cfg: Config, state: TrainState, step_fn,
     if logger is not None:
         logger.log(state.step + cfg.epoch_it, epoch_mean_loss=mean_loss,
                    steps_per_sec=cfg.epoch_it / dt)
-    return TrainState(params, opt_state, state.step + cfg.epoch_it), mean_loss
+    return TrainState(params, mstate, opt_state,
+                      state.step + cfg.epoch_it), mean_loss
 
 
-def evaluate(cfg: Config, params, eval_step,
+def evaluate(cfg: Config, params, model_state, eval_step,
              batches: Iterator[Dict[str, np.ndarray]]) -> float:
     """Running-mean loss over one deterministic pass (`Test.py:73-79`)."""
     total, n = 0.0, 0
     for batch in batches:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        loss = float(eval_step(params, batch))
+        loss = float(eval_step(params, model_state, batch))
         n += 1
         total += (loss - total) / n
     return total
@@ -95,10 +105,9 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
     state = init_state(cfg)
     print(f"Sep_Vars: {num_params(state.params)}")
     if resume_path:
-        restored = ckpt.restore_checkpoint(resume_path, like={
-            "params": state.params, "opt_state": state.opt_state, "step": 0})
-        state = TrainState(restored["params"], restored["opt_state"],
-                           int(restored["step"]))
+        restored = ckpt.restore_checkpoint(resume_path, like=state.as_pytree())
+        state = TrainState(restored["params"], restored["model_state"],
+                           restored["opt_state"], int(restored["step"]))
 
     best_loss = float("inf")
     best_path = None
@@ -111,8 +120,9 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
         init_opt, step_fn = make_train_step(rcfg, rcfg.init_sup_sep_lr, mesh=mesh)
         eval_step = make_eval_step(rcfg, mesh=mesh)
         # Fresh optimiser slots per round (the reference rebuilds the Adam graph
-        # with the new lr each epoch, `Training.py:77,137`).
-        state = TrainState(state.params, init_opt(state.params), state.step)
+        # with the new lr each round, `Training.py:131-137`).
+        state = TrainState(state.params, state.model_state,
+                           init_opt(state.params), state.step)
 
         train_pipe = BatchPipeline(rcfg, "train", in_len, out_len,
                                    seed=rcfg.seed + rnd)
@@ -128,14 +138,10 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
             state, train_loss = train_one_epoch(rcfg, state, step_fn, train_it,
                                                 logger)
             path = ckpt.save_checkpoint(cfg.model_base_dir, experiment_id,
-                                        state.step, {
-                                            "params": state.params,
-                                            "opt_state": state.opt_state,
-                                            "step": state.step,
-                                        })
+                                        state.step, state.as_pytree())
             valid_pipe = BatchPipeline(rcfg, "valid", in_len, out_len,
                                        seed=rcfg.seed)
-            curr = evaluate(rcfg, state.params, eval_step,
+            curr = evaluate(rcfg, state.params, state.model_state, eval_step,
                             valid_pipe.eval_batches())
             logger.log(state.step, valid_loss=curr)
             epoch += 1
@@ -150,12 +156,13 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
     print(f"TRAINING FINISHED - testing best model {best_path}")
     if best_path is not None:
         restored = ckpt.restore_checkpoint(best_path)
-        params = restored["params"]
+        params, model_state = restored["params"], restored["model_state"]
     else:
-        params = state.params
+        params, model_state = state.params, state.model_state
     eval_step = make_eval_step(cfg, mesh=mesh)
     test_pipe = BatchPipeline(cfg, "test", in_len, out_len, seed=cfg.seed)
-    test_loss = evaluate(cfg, params, eval_step, test_pipe.eval_batches())
+    test_loss = evaluate(cfg, params, model_state, eval_step,
+                         test_pipe.eval_batches())
     logger.log(state.step, test_loss=test_loss)
     logger.close()
     return best_path or "", test_loss

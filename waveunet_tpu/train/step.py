@@ -6,15 +6,19 @@ step. Loss math matches `Training.py:49-63`: per-source MSE on raw audio (or L1 
 STFT magnitudes for the U7a spectrogram config), averaged over sources. Optimiser
 is Adam at ``init_sup_sep_lr`` (`Training.py:77`) via optax.
 
+Model state (spectrogram net batch-norm moving stats — the reference's UPDATE_OPS
+control dependency, `Training.py:74-75`) threads functionally through every step;
+the Wave-U-Net has empty state. Dropout randomness comes from an explicit PRNG key
+folded with the step index.
+
 Data parallelism: batches are sharded along the leading axis of a 1-D
-``jax.sharding.Mesh``; gradients are combined by XLA-inserted all-reduces over ICI
-(jit + sharding annotations — no hand-written collectives needed at this scale,
-SURVEY.md §C22/C23).
+``jax.sharding.Mesh``; XLA inserts the gradient all-reduces over ICI from the
+sharding annotations alone (SURVEY.md §C22/C23 — no hand-written collectives
+needed at 10M params).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -25,26 +29,34 @@ from waveunet_tpu.config import Config
 from waveunet_tpu.models.waveunet import apply_waveunet
 
 
-def make_loss_fn(cfg: Config, forward_fn: Optional[Callable] = None,
-                 training: bool = True) -> Callable:
-    """loss(params, batch) -> scalar. ``batch`` maps "mix" + source names to
-    [B, len, C] arrays (targets already centre-cropped to the output window)."""
+def make_forward(cfg: Config) -> Callable:
+    """forward(params, state, x, training, rng) -> (outputs, new_state).
+
+    ``outputs`` maps source names to estimates: raw audio for the unet /
+    spectrogram-L2 paths, magnitude spectrograms for the U7a L1 path
+    (mirroring `Training.py:47`'s ``return_spectrogram`` plumbing).
+    """
+    if cfg.network == "unet":
+        def forward(params, state, x, training, rng=None):
+            return apply_waveunet(params, cfg, x, training), state
+        return forward
+
+    from waveunet_tpu.models.spectrogram_unet import apply_spectrogram_unet
+    return_spec = not cfg.raw_audio_loss
+
+    def forward(params, state, x, training, rng=None):
+        return apply_spectrogram_unet(params, cfg, x, training, state,
+                                      return_spectrogram=return_spec, rng=rng)
+    return forward
+
+
+def make_loss_fn(cfg: Config, training: bool) -> Callable:
+    """loss(params, state, batch, rng) -> (scalar, new_state)."""
+    forward = make_forward(cfg)
     spectro_l1 = (cfg.network == "unet_spectrogram" and not cfg.raw_audio_loss)
 
-    if forward_fn is None:
-        if cfg.network == "unet":
-            def forward_fn(p, x, train):
-                return apply_waveunet(p, cfg, x, training=train)
-        else:
-            from waveunet_tpu.models.spectrogram_unet import apply_spectrogram_unet
-
-            def forward_fn(p, x, train):
-                return apply_spectrogram_unet(
-                    p, cfg, x, training=train,
-                    return_spectrogram=spectro_l1)
-
-    def loss_fn(params, batch):
-        est = forward_fn(params, batch["mix"], training)
+    def loss_fn(params, state, batch, rng=None):
+        est, new_state = forward(params, state, batch["mix"], training, rng)
         total = 0.0
         for name in cfg.source_names:
             target = batch[name]
@@ -55,8 +67,13 @@ def make_loss_fn(cfg: Config, forward_fn: Optional[Callable] = None,
                 real_mag = stft_magnitude(target[..., 0])
                 total = total + jnp.mean(jnp.abs(real_mag - pred))
             else:
+                if pred.shape[1] != target.shape[1]:
+                    # iSTFT output is hop*(F-1)+frame_len <= input length; crop
+                    # the target tail to match (TF loss broadcasting relied on
+                    # equal shapes; we align explicitly).
+                    target = target[:, :pred.shape[1], :]
                 total = total + jnp.mean(jnp.square(target - pred))
-        return total / cfg.num_sources
+        return total / cfg.num_sources, new_state
 
     return loss_fn
 
@@ -66,44 +83,50 @@ def make_optimizer(lr: float) -> optax.GradientTransformation:
     return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
 
+def _shardings(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh.axis_names, None, None))
+    return rep, data
+
+
 def make_train_step(cfg: Config, lr: float,
-                    forward_fn: Optional[Callable] = None,
-                    mesh: Optional[jax.sharding.Mesh] = None):
-    """Returns (init_opt_state, step) where
-    ``step(params, opt_state, batch) -> (params, opt_state, loss)`` is jitted
-    (and mesh-sharded if a mesh is given)."""
-    loss_fn = make_loss_fn(cfg, forward_fn, training=True)
+                    mesh: Optional[jax.sharding.Mesh] = None
+                    ) -> Tuple[Callable, Callable]:
+    """Returns (init_opt, step) with
+    ``step(params, state, opt_state, batch, rng) ->
+        (params, state, opt_state, loss)`` jitted (mesh-sharded if given)."""
+    loss_fn = make_loss_fn(cfg, training=True)
     tx = make_optimizer(lr)
 
-    def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+    def step(params, state, opt_state, batch, rng):
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, new_state, opt_state, loss
 
     if mesh is None:
         return tx.init, jax.jit(step)
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    rep = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(mesh.axis_names, None, None))
+    rep, data = _shardings(mesh)
     # in_shardings prefixes broadcast over pytrees: every leaf of `batch` is
     # sharded on its leading (batch) axis; params/opt state are replicated.
-    step_jit = jax.jit(
-        step,
-        in_shardings=(rep, rep, data),
-        out_shardings=(rep, rep, rep))
+    step_jit = jax.jit(step,
+                       in_shardings=(rep, rep, rep, data, rep),
+                       out_shardings=(rep, rep, rep, rep))
     return tx.init, step_jit
 
 
-def make_eval_step(cfg: Config, forward_fn: Optional[Callable] = None,
-                   mesh: Optional[jax.sharding.Mesh] = None):
-    """Jitted validation loss step (inference mode) — replaces the reference's
-    fresh-graph evaluator (`/root/reference/Test.py:34,73-79`)."""
-    loss_fn = make_loss_fn(cfg, forward_fn, training=False)
+def make_eval_step(cfg: Config, mesh: Optional[jax.sharding.Mesh] = None):
+    """Jitted validation loss (inference mode; BN uses moving stats) — replaces
+    the reference's fresh-graph evaluator (`/root/reference/Test.py:34,73-79`)."""
+    loss_fn = make_loss_fn(cfg, training=False)
+
+    def eval_step(params, state, batch):
+        loss, _ = loss_fn(params, state, batch, None)
+        return loss
+
     if mesh is None:
-        return jax.jit(loss_fn)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    rep = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(mesh.axis_names, None, None))
-    return jax.jit(loss_fn, in_shardings=(rep, data), out_shardings=rep)
+        return jax.jit(eval_step)
+    rep, data = _shardings(mesh)
+    return jax.jit(eval_step, in_shardings=(rep, rep, data), out_shardings=rep)
