@@ -1,0 +1,135 @@
+"""BSS-Eval + aggregation + harness tests (property-based sanity oracles)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from waveunet_tpu.eval.aggregate import compute_mean_metrics, write_track_json
+from waveunet_tpu.eval.bsseval import bss_eval_framewise, bss_eval_window
+
+
+def _two_sources(rng, n=8000, c=1):
+    s1 = rng.standard_normal((n, c)).astype(np.float64) * 0.3
+    s2 = rng.standard_normal((n, c)).astype(np.float64) * 0.3
+    return np.stack([s1, s2])
+
+
+def test_perfect_estimate_high_sdr(rng):
+    refs = _two_sources(rng)
+    res = bss_eval_window(refs, refs.copy(), filter_len=64)
+    assert np.all(res["SDR"] > 100)  # essentially perfect
+    assert np.all(res["SAR"] > 60)
+
+
+def test_noise_at_minus20db(rng):
+    refs = _two_sources(rng)
+    noise = rng.standard_normal(refs.shape) * 0.03  # -20 dB rel to 0.3
+    ests = refs + noise
+    res = bss_eval_window(refs, ests, filter_len=64)
+    # SDR == 10log10(||s||^2/||e-s||^2) exactly
+    want = 10 * np.log10((refs[0] ** 2).sum() / (noise[0] ** 2).sum())
+    np.testing.assert_allclose(res["SDR"][0], want, atol=0.2)
+
+
+def test_interference_reflected_in_sir(rng):
+    refs = _two_sources(rng)
+    # estimate of source 0 contaminated by source 1 at -10 dB
+    ests = refs.copy()
+    ests[0] += 0.1 * refs[1] / np.std(refs[1]) * np.std(refs[0])
+    res = bss_eval_window(refs, ests, filter_len=64)
+    assert res["SIR"][0] < 30  # finite interference
+    assert res["SIR"][1] > res["SIR"][0]  # source 1 estimate is clean
+    # artifacts stay low: contamination lives in the source subspace
+    assert res["SAR"][0] > 40
+
+
+def test_filtered_estimate_high_sar(rng):
+    """A short-delay echo of the reference is 'spatial distortion', not
+    artifact: SAR must stay high, plain SDR low."""
+    refs = _two_sources(rng)
+    ests = refs.copy()
+    ests[0] = 0.8 * refs[0] + 0.5 * np.roll(refs[0], 5, axis=0)
+    res = bss_eval_window(refs, ests, filter_len=64)
+    # np.roll wraps 5 samples that a causal filter cannot model, capping SAR.
+    assert res["SAR"][0] > 25
+    assert res["SIR"][0] > 40  # no cross-source interference introduced
+    assert res["SDR"][0] < 15
+    assert res["ISR"][0] < 10  # filtering shows up as spatial distortion
+
+
+def test_silent_reference_nan(rng):
+    refs = _two_sources(rng)
+    refs[1] = 0.0
+    res = bss_eval_window(refs, refs.copy(), filter_len=32)
+    assert np.isnan(res["SDR"][1])
+    assert not np.isnan(res["SDR"][0]) and res["SDR"][0] > 100
+
+
+def test_framewise_shapes(rng):
+    refs = _two_sources(rng, n=4000)
+    res = bss_eval_framewise(refs, refs.copy(), rate=1000, filter_len=32)
+    assert res["SDR"].shape == (2, 4)
+
+
+def test_json_roundtrip_and_aggregate(tmp_path, rng):
+    metrics = {"vocals": {"SDR": np.array([3.0, 4.0, np.nan]),
+                          "ISR": np.array([10.0, 11.0, np.nan]),
+                          "SIR": np.array([8.0, 9.0, np.nan]),
+                          "SAR": np.array([7.0, 6.0, np.nan])},
+               "accompaniment": {"SDR": np.array([11.0, 12.0, 13.0]),
+                                 "ISR": np.array([20.0, 21.0, 22.0]),
+                                 "SIR": np.array([18.0, 19.0, 20.0]),
+                                 "SAR": np.array([17.0, 16.0, 15.0])}}
+    write_track_json(str(tmp_path / "song.json"), "song", metrics)
+    stats = compute_mean_metrics(str(tmp_path))
+    assert len(stats) == 2
+    med, mad, mean, sd = stats[0]  # vocals written first
+    np.testing.assert_allclose(med, 3.5)
+    np.testing.assert_allclose(mean, 3.5)
+
+
+def test_harness_on_synthetic_track(tmp_path, rng):
+    """End-to-end: WAV-layout dataset dir -> evaluate_musdb with an untrained
+    tiny model produces JSONs + aggregate stats."""
+    import jax
+
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.data.audio_io import write_wav
+    from waveunet_tpu.eval.harness import evaluate_musdb
+    from waveunet_tpu.models.waveunet import init_waveunet
+
+    sr = 8192
+    n = sr * 3
+    cfg = get_config("baseline", num_layers=3, num_frames=1024,
+                     expected_sr=sr, musdb_path=str(tmp_path / "db"))
+    d = tmp_path / "db" / "test" / "song1"
+    d.mkdir(parents=True)
+    t = np.arange(n) / sr
+    vocals = (0.3 * np.sin(2 * np.pi * 440 * t))[:, None].astype(np.float32)
+    acc = (0.3 * np.sin(2 * np.pi * 220 * t))[:, None].astype(np.float32)
+    write_wav(str(d / "vocals.wav"), vocals, sr)
+    write_wav(str(d / "accompaniment.wav"), acc, sr)
+    write_wav(str(d / "mixture.wav"), vocals + acc, sr)
+
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    stats = evaluate_musdb(cfg, params, subset="test",
+                           output_path=str(tmp_path / "est"), max_tracks=1,
+                           win_s=1.0)
+    assert len(stats) == 2
+    json_files = os.listdir(tmp_path / "est" / "test")
+    assert "song1.json" in json_files
+    # estimates written too
+    assert (tmp_path / "est" / "song1" / "vocals.wav").exists()
+
+
+def test_violin_plot(tmp_path):
+    metrics = {"vocals": {k: np.array([1.0, 2.0]) for k in
+                          ("SDR", "ISR", "SIR", "SAR")},
+               "accompaniment": {k: np.array([5.0, 6.0]) for k in
+                                 ("SDR", "ISR", "SIR", "SAR")}}
+    write_track_json(str(tmp_path / "song.json"), "song", metrics)
+    from waveunet_tpu.eval.plot import draw_violin_sdr
+    out = draw_violin_sdr(str(tmp_path), str(tmp_path / "violin.png"))
+    assert os.path.exists(out)

@@ -1,0 +1,165 @@
+"""Command-line entry points.
+
+Replaces the reference's sacred CLI (`python Training.py with cfg.<name> k=v`,
+`/root/reference/Training.py:152-166`, `Predict.py:14-17`) with explicit
+subcommands sharing the same preset + override grammar:
+
+  python -m waveunet_tpu.cli train full_44KHz [key=value ...]
+  python -m waveunet_tpu.cli predict full_44KHz input_path=mix.wav \
+      [checkpoint=path] [output_path=dir]
+  python -m waveunet_tpu.cli evaluate full_44KHz checkpoint=path \
+      [subset=test] [output_path=dir]
+  python -m waveunet_tpu.cli prepare-data full_44KHz   # MUSDB -> npz cache
+  python -m waveunet_tpu.cli presets                   # list named configs
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def _setup_jax():
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         os.pardir, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    return jax
+
+
+def _split_args(args: List[str]) -> Tuple[List[str], Dict[str, str]]:
+    """Split CLI fragments into config fragments and CLI-local options."""
+    cli_keys = {"input_path", "output_path", "checkpoint", "subset",
+                "experiment_id", "max_epochs"}
+    cfg_frags, opts = [], {}
+    for a in args:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            if k in cli_keys:
+                opts[k] = v
+                continue
+        cfg_frags.append(a)
+    return cfg_frags, opts
+
+
+def cmd_presets(_args):
+    from waveunet_tpu.config import get_config, preset_names
+    for name in preset_names():
+        cfg = get_config(name)
+        print(f"{name:36s} net={cfg.network:16s} sr={cfg.expected_sr:6d} "
+              f"ch={cfg.num_channels} ctx={int(cfg.context)} "
+              f"out={cfg.output_type}")
+
+
+def cmd_train(args):
+    jax = _setup_jax()
+    from waveunet_tpu.config import config_from_cli
+    from waveunet_tpu.data import cache
+    from waveunet_tpu.ops import shapes
+    from waveunet_tpu.parallel.mesh import make_mesh
+    from waveunet_tpu.train.loop import optimise
+
+    cfg_frags, opts = _split_args(args)
+    cfg = config_from_cli(cfg_frags)
+    if not cache.is_prepared(cfg):
+        pad = shapes.context_pad(cfg, cfg.num_frames)
+        print("Preparing dataset cache...")
+        cache.prepare_dataset(cfg, pad)
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    max_ep = int(opts["max_epochs"]) if "max_epochs" in opts else None
+    path, test_loss = optimise(cfg, experiment_id=opts.get("experiment_id"),
+                               mesh=mesh, resume_path=opts.get("checkpoint"),
+                               max_epochs_per_round=max_ep)
+    print(f"Best model: {path}; test loss {test_loss}")
+
+
+def _load_params(cfg, checkpoint):
+    import jax
+    from waveunet_tpu.train import checkpoint as ckpt
+    from waveunet_tpu.train.loop import init_state
+
+    if checkpoint is None:
+        print("WARNING: no checkpoint given; using random initialisation")
+        st = init_state(cfg)
+        return st.params, st.model_state
+    if checkpoint.endswith(".ckpt") or os.path.isfile(checkpoint + ".index"):
+        # TF-format checkpoint from the reference zoo -> convert.
+        from waveunet_tpu.compat.tf_checkpoint import load_tf_waveunet
+        return load_tf_waveunet(checkpoint, cfg), {}
+    restored = ckpt.restore_checkpoint(checkpoint)
+    return restored["params"], restored.get("model_state", {})
+
+
+def cmd_predict(args):
+    _setup_jax()
+    import jax
+    from waveunet_tpu.config import config_from_cli
+    from waveunet_tpu.infer.engine import separate_file
+    from waveunet_tpu.parallel.mesh import make_mesh
+
+    cfg_frags, opts = _split_args(args)
+    cfg = config_from_cli(cfg_frags)
+    if "input_path" not in opts:
+        print("predict requires input_path=<audio file>", file=sys.stderr)
+        sys.exit(2)
+    params, model_state = _load_params(cfg, opts.get("checkpoint"))
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    written = separate_file(cfg, params, opts["input_path"],
+                            output_path=opts.get("output_path"), mesh=mesh)
+    for name, p in written.items():
+        print(f"{name}: {p}")
+
+
+def cmd_evaluate(args):
+    _setup_jax()
+    import jax
+    from waveunet_tpu.config import config_from_cli
+    from waveunet_tpu.eval.harness import evaluate_musdb
+    from waveunet_tpu.parallel.mesh import make_mesh
+
+    cfg_frags, opts = _split_args(args)
+    cfg = config_from_cli(cfg_frags)
+    params, model_state = _load_params(cfg, opts.get("checkpoint"))
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
+                   subset=opts.get("subset", "test"),
+                   output_path=opts.get("output_path", cfg.estimates_path))
+
+
+def cmd_prepare_data(args):
+    from waveunet_tpu.config import config_from_cli
+    from waveunet_tpu.data import cache
+    from waveunet_tpu.ops import shapes
+
+    cfg_frags, _ = _split_args(args)
+    cfg = config_from_cli(cfg_frags)
+    cache.prepare_dataset(cfg, shapes.context_pad(cfg, cfg.num_frames))
+    print(f"Cache ready at {cache.cache_dir(cfg)}")
+
+
+_COMMANDS = {
+    "train": cmd_train,
+    "predict": cmd_predict,
+    "evaluate": cmd_evaluate,
+    "prepare-data": cmd_prepare_data,
+    "presets": cmd_presets,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in _COMMANDS:
+        print(__doc__)
+        sys.exit(0 if argv and argv[0] in ("-h", "--help") else 2)
+    _COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    main()

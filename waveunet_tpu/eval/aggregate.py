@@ -1,0 +1,63 @@
+"""Metric aggregation over per-track JSON results.
+
+Mirrors `compute_mean_metrics` (`/root/reference/Evaluate.py:195-231`): collects
+per-frame metric values per instrument from a folder of museval-style JSONs and
+returns NaN-aware (median, MAD, mean, SD) per source.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def write_track_json(path: str, track_name: str, targets: Dict[str, Dict[str, np.ndarray]],
+                     win: float = 1.0, hop: float = 1.0):
+    """Write one track's framewise metrics in museval's JSON schema."""
+    out = {"targets": [], "museval_version": "waveunet_tpu-bsseval"}
+    for name, metrics in targets.items():
+        frames = []
+        n_frames = len(next(iter(metrics.values())))
+        for fi in range(n_frames):
+            frames.append({
+                "time": fi * hop,
+                "duration": win,
+                "metrics": {k: (None if np.isnan(v[fi]) else float(v[fi]))
+                            for k, v in metrics.items()},
+            })
+        out["targets"].append({"name": name, "frames": frames})
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f)
+
+
+def compute_mean_metrics(json_folder: str, compute_averages: bool = True,
+                         metric: str = "SDR"):
+    """NaN-aware (median, MAD, mean, SD) per source over all segment frames."""
+    files = glob.glob(os.path.join(json_folder, "*.json"))
+    inst_list: Optional[List[List[float]]] = None
+    for path in files:
+        if path.endswith("test.json"):
+            continue
+        with open(path) as f:
+            js = json.load(f)
+        targets = js.get("targets", [])
+        if inst_list is None:
+            inst_list = [[] for _ in targets]
+        for i, tgt in enumerate(targets):
+            for frame in tgt["frames"]:
+                v = frame["metrics"].get(metric)
+                inst_list[i].append(np.nan if v is None else float(v))
+    if inst_list is None:
+        return []
+    arrays = [np.asarray(v, dtype=np.float64) for v in inst_list]
+    if not compute_averages:
+        return arrays
+    return [(np.nanmedian(a),
+             np.nanmedian(np.abs(a - np.nanmedian(a))),
+             np.nanmean(a),
+             np.nanstd(a)) for a in arrays]

@@ -1,0 +1,192 @@
+"""BSS-Eval v4 (images, framewise): SDR / ISR / SIR / SAR.
+
+Self-contained numpy implementation of the museval v4 metrics the reference
+uses for its headline numbers (`/root/reference/Evaluate.py:71`,
+`README.md:101-104`). The ``museval`` package is not available in this
+environment, so the metric math is implemented from the published BSS Eval
+definitions (Vincent et al.; sigsep museval v4 conventions):
+
+  For each 1-second window, each estimated source image ŝ_j is decomposed via
+  least-squares projections onto spaces of L=512-tap filtered reference images:
+
+    P_j   = proj onto {shifted s_j}            (target + spatial space)
+    P_all = proj onto {shifted s_1..s_K}       (all-sources space)
+    e_spat   = P_j(ŝ_j)  - s_j
+    e_interf = P_all(ŝ_j) - P_j(ŝ_j)
+    e_artif  = ŝ_j - P_all(ŝ_j)
+
+    SDR = 10 log10 ||s_j||² / ||e_spat + e_interf + e_artif||²
+    ISR = 10 log10 ||s_j||² / ||e_spat||²
+    SIR = 10 log10 ||s_j + e_spat||² / ||e_interf||²
+    SAR = 10 log10 ||s_j + e_spat + e_interf||² / ||e_artif||²
+
+  Signals are zero-padded to n + L - 1 for the filtered projections; windows
+  whose reference is silent yield NaN (museval behavior), which the aggregation
+  (`aggregate.py`) treats NaN-aware exactly like the reference
+  (`Evaluate.py:230`).
+
+The Gram/Toeplitz systems are assembled from FFT cross-correlations; one Gram
+factorisation per window is shared across all estimated sources.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+from scipy.fft import irfft, rfft
+
+FILTER_LEN = 512
+
+
+def _nfft_for(n: int) -> int:
+    nfft = 1
+    while nfft < 2 * n:
+        nfft *= 2
+    return nfft
+
+
+def _gram(refs: np.ndarray, L: int) -> np.ndarray:
+    """Block-Toeplitz Gram matrix of L-shifted references. refs: [K, n]."""
+    from scipy.linalg import toeplitz
+
+    K, n = refs.shape
+    nfft = _nfft_for(n)
+    RF = rfft(refs, nfft, axis=1)
+    G = np.zeros((K * L, K * L))
+    lags = np.arange(L)
+    for i in range(K):
+        for j in range(i, K):
+            # blk[a, b] = sum_t refs_i[t - a] refs_j[t - b] = r_ij[b - a],
+            # negative lags wrapped at the tail of the ifft buffer.
+            r = irfft(RF[i] * np.conj(RF[j]), nfft)
+            blk = toeplitz(r[(-lags) % nfft], r[lags])
+            G[i * L:(i + 1) * L, j * L:(j + 1) * L] = blk
+            if i != j:
+                G[j * L:(j + 1) * L, i * L:(i + 1) * L] = blk.T
+    return G
+
+
+def _cross(refs: np.ndarray, est: np.ndarray, L: int) -> np.ndarray:
+    """D[(i, lag), c] = sum_t est_c[t] refs_i[t - lag]. refs [K,n], est [C,n]."""
+    K, n = refs.shape
+    C = est.shape[0]
+    nfft = _nfft_for(n)
+    RF = rfft(refs, nfft, axis=1)
+    EF = rfft(est, nfft, axis=1)
+    D = np.zeros((K * L, C))
+    lags = np.arange(L)
+    for i in range(K):
+        for c in range(C):
+            d = irfft(EF[c] * np.conj(RF[i]), nfft)
+            D[i * L:(i + 1) * L, c] = d[lags]
+    return D
+
+
+def _project(refs: np.ndarray, coeffs: np.ndarray, n_out: int) -> np.ndarray:
+    """Apply per-reference L-tap filters and sum: returns [C, n_out]."""
+    K, n = refs.shape
+    L = coeffs.shape[0] // K
+    C = coeffs.shape[1]
+    nfft = 1
+    while nfft < 2 * n:
+        nfft *= 2
+    RF = rfft(refs, nfft, axis=1)
+    out = np.zeros((C, n_out))
+    for i in range(K):
+        HF = rfft(coeffs[i * L:(i + 1) * L, :].T, nfft, axis=1)  # [C, nfft]
+        seg = irfft(HF * RF[i][None, :], nfft, axis=1)[:, :n_out]
+        out += seg
+    return out
+
+
+def _safe_solve(G: np.ndarray, D: np.ndarray) -> np.ndarray:
+    try:
+        return np.linalg.solve(G, D)
+    except np.linalg.LinAlgError:
+        return np.linalg.lstsq(G, D, rcond=None)[0]
+
+
+def _db(num: float, den: float) -> float:
+    if den <= 0:
+        return np.inf if num > 0 else np.nan
+    if num <= 0:
+        return -np.inf
+    return 10.0 * np.log10(num / den)
+
+
+def bss_eval_window(references: np.ndarray, estimates: np.ndarray,
+                    filter_len: int = FILTER_LEN) -> Dict[str, np.ndarray]:
+    """Metrics for one window.
+
+    references/estimates: [n_src, n_samples, n_chan].
+    Returns dict of arrays [n_src] for SDR/ISR/SIR/SAR (NaN for silent refs).
+    """
+    S, n, C = references.shape
+    L = filter_len
+    refs_flat = references.transpose(0, 2, 1).reshape(S * C, n)
+    n_out = n + L - 1
+
+    sdr = np.full(S, np.nan)
+    isr = np.full(S, np.nan)
+    sir = np.full(S, np.nan)
+    sar = np.full(S, np.nan)
+
+    ref_energy = (references ** 2).sum(axis=(1, 2))
+    if not np.any(ref_energy > 0):
+        return {"SDR": sdr, "ISR": isr, "SIR": sir, "SAR": sar}
+
+    G_all = _gram(refs_flat, L)  # one Gram per window, shared by all sources
+    for j in range(S):
+        if ref_energy[j] == 0:
+            continue
+        est = estimates[j].T  # [C, n]
+        D_all = _cross(refs_flat, est, L)
+        A_all = _safe_solve(G_all, D_all)
+        proj_all = _project(refs_flat, A_all, n_out)
+
+        # Sub-system for the single-source (spatial) projection.
+        rows = np.concatenate([
+            np.arange((j * C + c) * L, (j * C + c + 1) * L) for c in range(C)])
+        G_j = G_all[np.ix_(rows, rows)]
+        D_j = D_all[rows]
+        A_j = _safe_solve(G_j, D_j)
+        proj_j = _project(refs_flat[j * C:(j + 1) * C], A_j, n_out)
+
+        s_pad = np.zeros((C, n_out))
+        s_pad[:, :n] = references[j].T
+        e_pad = np.zeros((C, n_out))
+        e_pad[:, :n] = est
+
+        e_spat = proj_j - s_pad
+        e_interf = proj_all - proj_j
+        e_artif = e_pad - proj_all
+
+        s2 = float((s_pad ** 2).sum())
+        sdr[j] = _db(s2, float(((e_pad - s_pad) ** 2).sum()))
+        isr[j] = _db(s2, float((e_spat ** 2).sum()))
+        sir[j] = _db(float(((s_pad + e_spat) ** 2).sum()),
+                     float((e_interf ** 2).sum()))
+        sar[j] = _db(float(((s_pad + e_spat + e_interf) ** 2).sum()),
+                     float((e_artif ** 2).sum()))
+    return {"SDR": sdr, "ISR": isr, "SIR": sir, "SAR": sar}
+
+
+def bss_eval_framewise(references: np.ndarray, estimates: np.ndarray,
+                       rate: int, win_s: float = 1.0, hop_s: float = 1.0,
+                       filter_len: int = FILTER_LEN
+                       ) -> Dict[str, np.ndarray]:
+    """Framewise metrics over a full track (museval v4 default framing:
+    1 s windows, 1 s hop). Returns dict of [n_src, n_frames] arrays."""
+    S, n, C = references.shape
+    win = int(win_s * rate)
+    hop = int(hop_s * rate)
+    starts = list(range(0, max(n - win + 1, 1), hop))
+    out = {k: np.full((S, len(starts)), np.nan)
+           for k in ("SDR", "ISR", "SIR", "SAR")}
+    for fi, st in enumerate(starts):
+        sl = slice(st, min(st + win, n))
+        res = bss_eval_window(references[:, sl], estimates[:, sl], filter_len)
+        for k in out:
+            out[k][:, fi] = res[k]
+    return out

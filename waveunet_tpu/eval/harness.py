@@ -1,0 +1,130 @@
+"""MUSDB evaluation harness: TPU inference -> BSS-Eval v4 -> JSON -> aggregate.
+
+Replaces `produce_musdb_source_estimates` + `predict`
+(`/root/reference/Evaluate.py:16-80,147-159`): iterate MUSDB test tracks, run the
+batched window-parallel separation engine per track, resample estimates back to
+the native rate, evaluate SDR/ISR/SIR/SAR framewise, and write per-track JSONs
+compatible with the reference's aggregation (`Evaluate.py:195-231`).
+
+Tracks come either from the ``musdb`` package (stems layout, if installed) or a
+decoded-WAV directory layout ``<root>/{train,test}/<song>/{mixture,...}.wav``.
+The reference rebuilt the whole TF graph per track (`Evaluate.py:41-57,77-78`);
+here one jitted engine instance serves every track.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from waveunet_tpu.config import Config
+from waveunet_tpu.data.audio_io import load, write_wav
+from waveunet_tpu.eval.aggregate import compute_mean_metrics, write_track_json
+from waveunet_tpu.eval.bsseval import bss_eval_framewise
+from waveunet_tpu.infer.engine import Separator
+from waveunet_tpu.ops.resample import resample
+
+_EVAL_TARGETS = {
+    "voice": ("vocals", "accompaniment"),
+    "multi_instrument": ("vocals", "drums", "bass", "other"),
+}
+
+
+def iter_tracks(musdb_path: str, subset: str
+                ) -> Iterator[Tuple[str, np.ndarray, int, Dict[str, np.ndarray]]]:
+    """Yields (name, mixture [n, ch], rate, {target: [n, ch]})."""
+    part_dir = os.path.join(musdb_path, subset)
+    if os.path.isdir(part_dir):  # decoded-WAV layout
+        for song in sorted(os.listdir(part_dir)):
+            d = os.path.join(part_dir, song)
+            mix_p = os.path.join(d, "mixture.wav")
+            if not os.path.isfile(mix_p):
+                continue
+            mix, sr = load(mix_p, sr=None, mono=False)
+            targets = {}
+            for t in ("vocals", "drums", "bass", "other", "accompaniment"):
+                p = os.path.join(d, f"{t}.wav")
+                if os.path.isfile(p):
+                    targets[t] = load(p, sr=None, mono=False)[0]
+            if ("accompaniment" not in targets
+                    and {"drums", "bass", "other"} <= set(targets)):
+                targets["accompaniment"] = np.clip(
+                    targets["drums"] + targets["bass"] + targets["other"],
+                    -1.0, 1.0)
+            yield song, mix, sr, targets
+        return
+
+    import musdb  # type: ignore  # stems layout fallback
+
+    mus = musdb.DB(root=musdb_path, subsets=[subset])
+    for track in mus.tracks:
+        targets = {name: tgt.audio for name, tgt in track.targets.items()}
+        yield track.name, track.audio, track.rate, targets
+
+
+def separate_track(sep: Separator, cfg: Config, mix: np.ndarray, rate: int
+                   ) -> Dict[str, np.ndarray]:
+    """Separate + resample back + re-tile channels (`Evaluate.py:61-67`)."""
+    preds = sep.separate(mix, rate)
+    out = {}
+    for name, est in preds.items():
+        est = resample(est, cfg.expected_sr, rate)[:mix.shape[0]]
+        if est.shape[0] < mix.shape[0]:
+            est = np.pad(est, [(0, mix.shape[0] - est.shape[0]), (0, 0)])
+        if cfg.mono_downmix and mix.shape[1] > 1:
+            est = np.tile(est, [1, mix.shape[1]])
+        out[name] = est
+    return out
+
+
+def evaluate_track(cfg: Config, name: str, mix: np.ndarray, rate: int,
+                   targets: Dict[str, np.ndarray], sep: Separator,
+                   results_dir: Optional[str] = None,
+                   estimates_dir: Optional[str] = None,
+                   win_s: float = 1.0) -> Dict[str, Dict[str, np.ndarray]]:
+    preds = separate_track(sep, cfg, mix, rate)
+    eval_names = [s for s in _EVAL_TARGETS[cfg.task]
+                  if s in preds and s in targets]
+    refs = np.stack([targets[s][:mix.shape[0]] for s in eval_names])
+    ests = np.stack([preds[s] for s in eval_names])
+    res = bss_eval_framewise(refs, ests, rate, win_s=win_s, hop_s=win_s)
+    per_target = {s: {k: res[k][i] for k in res}
+                  for i, s in enumerate(eval_names)}
+    if results_dir is not None:
+        write_track_json(os.path.join(results_dir, f"{name}.json"), name,
+                         per_target, win=win_s, hop=win_s)
+    if estimates_dir is not None:
+        d = os.path.join(estimates_dir, name)
+        os.makedirs(d, exist_ok=True)
+        for s, est in preds.items():
+            write_wav(os.path.join(d, f"{s}.wav"), est, rate)
+    return per_target
+
+
+def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
+                   subset: str = "test", output_path: str = "estimates",
+                   max_tracks: Optional[int] = None, win_s: float = 1.0):
+    """Full-dataset evaluation; prints the aggregate table at the end."""
+    sep = Separator(cfg, params, model_state=model_state, mesh=mesh)
+    results_dir = os.path.join(output_path, subset)
+    os.makedirs(results_dir, exist_ok=True)
+    count = 0
+    for name, mix, rate, targets in iter_tracks(cfg.musdb_path, subset):
+        print(f"Evaluating {name}...")
+        per_target = evaluate_track(cfg, name, mix, rate, targets, sep,
+                                    results_dir=results_dir,
+                                    estimates_dir=output_path, win_s=win_s)
+        med = {s: float(np.nanmedian(m["SDR"]))
+               for s, m in per_target.items()}
+        print(f"  median SDR: {med}")
+        count += 1
+        if max_tracks is not None and count >= max_tracks:
+            break
+
+    stats = compute_mean_metrics(results_dir)
+    for i, (median, mad, mean, sd) in enumerate(stats):
+        print(f"source[{i}]: SDR median {median:.2f} (MAD {mad:.2f}) "
+              f"mean {mean:.2f} (SD {sd:.2f})")
+    return stats
