@@ -96,23 +96,38 @@ def apply_waveunet(params: Params, cfg: Config, mix: jnp.ndarray,
     """Forward pass: mixture [B, in_len, C] -> {source: [B, out_len, C]}."""
     padding = "VALID" if cfg.context else "SAME"
     cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    # Opt-in Pallas kernels (inference-only forward). Measured on v5e they are
+    # currently slightly behind XLA's native conv lowering (see
+    # waveunet_tpu/ops/pallas/KERNELS.md) — default stays False.
+    use_pallas = cfg.use_pallas and cfg.context and not training
 
     def conv(x, p, width_unused=None):
         return conv1d(x, p, padding=padding, compute_dtype=cdtype)
 
+    def conv_act(x, p):
+        if use_pallas:
+            from waveunet_tpu.ops.pallas.conv1d_fused import conv1d_lrelu_pallas
+            return conv1d_lrelu_pallas(x, p["kernel"], p["bias"])
+        return leaky_relu(conv(x, p))
+
     skips: List[jnp.ndarray] = []
     cur = mix
     for i in range(cfg.num_layers):
-        cur = leaky_relu(conv(cur, params[f"down_{i}"]))
+        cur = conv_act(cur, params[f"down_{i}"])
         skips.append(cur)
         cur = cur[:, ::2, :]  # decimate (`:100`)
 
-    cur = leaky_relu(conv(cur, params["bottleneck"]))
+    cur = conv_act(cur, params["bottleneck"])
 
     for i in range(cfg.num_layers):
         if cfg.upsampling == "learned":
-            cur = learned_interp_x2(cur, params[f"interp_{i}"]["weights"],
-                                    cfg.context)
+            if use_pallas:
+                from waveunet_tpu.ops.pallas.interp import learned_interp_pallas
+                cur = learned_interp_pallas(
+                    cur, params[f"interp_{i}"]["weights"], cfg.context)
+            else:
+                cur = learned_interp_x2(cur, params[f"interp_{i}"]["weights"],
+                                        cfg.context)
         else:
             cur = bilinear_x2(cur, cfg.context)
         skip = skips[-i - 1]
@@ -121,7 +136,7 @@ def apply_waveunet(params: Params, cfg: Config, mix: jnp.ndarray,
                 f"same-padding skip mismatch at layer {i}: "
                 f"{skip.shape[1]} vs {cur.shape[1]}")
         cur = crop_and_concat(skip, cur)
-        cur = leaky_relu(conv(cur, params[f"up_{i}"]))
+        cur = conv_act(cur, params[f"up_{i}"])
 
     cur = crop_and_concat(mix, cur)
 
