@@ -31,13 +31,12 @@ def sequential_snippet_positions(length: int, input_len: int,
 
 def extract_snippets(tracks: Dict[str, np.ndarray], positions: np.ndarray,
                      input_len: int) -> Dict[str, np.ndarray]:
-    """Gather [n, input_len, ch] windows for every key via a strided view."""
-    out = {}
-    for key, audio in tracks.items():
-        view = np.lib.stride_tricks.sliding_window_view(audio, input_len, axis=0)
-        wins = view[positions]  # [n, ch, input_len]
-        out[key] = np.ascontiguousarray(np.transpose(wins, (0, 2, 1)))
-    return out
+    """Gather [n, input_len, ch] windows for every key (native C++ memcpy
+    kernel when built, strided-view fallback otherwise)."""
+    from waveunet_tpu.runtime import native
+
+    return {key: native.gather_windows(audio, positions, input_len)
+            for key, audio in tracks.items()}
 
 
 def random_amplify(sample: Dict[str, np.ndarray], rng: np.random.Generator,

@@ -186,9 +186,9 @@ class Separator:
         if wire16:
             # Halve the wire traffic both ways; exact for PCM16-derived
             # sources, -96 dB quantisation floor otherwise (the output WAVs
-            # are PCM16 regardless).
-            padded = np.round(np.clip(padded, -1.0, 1.0) * 32767.0
-                              ).astype(np.int16)
+            # are PCM16 regardless). Native C++ kernel when built.
+            from waveunet_tpu.runtime import native
+            padded = native.quantize_int16(padded)
         song = jnp.asarray(padded)
         if self._song_sharding is not None:
             song = jax.device_put(song, self._song_sharding)

@@ -51,9 +51,21 @@ def _resample_plan(n_in: int, orig_sr: int, new_sr: int):
 
 
 def resample(audio: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
-    """Resample (frames[, channels]) audio; output length ceil(n*new/orig)."""
+    """Resample (frames[, channels]) audio; output length ceil(n*new/orig).
+
+    Uses the native C++ polyphase kernel when built (identical taps/math);
+    falls back to scipy's upfirdn otherwise.
+    """
     if orig_sr == new_sr:
         return np.asarray(audio, np.float32)
+
+    from waveunet_tpu.runtime import native
+    if native.available():
+        n_in = np.asarray(audio).shape[0]
+        p, q, taps, half, _, _, n_out = _resample_plan(n_in, orig_sr, new_sr)
+        return native.resample_poly(np.asarray(audio, np.float32), taps,
+                                    half, p, q, n_out)
+
     x = np.asarray(audio, np.float64)
     squeeze = x.ndim == 1
     if squeeze:
