@@ -36,13 +36,15 @@ def test_sharded_train_step_matches_single_device(rng):
     batch = {k: jnp.asarray(v) for k, v in srcs.items()}
     batch["mix"] = jnp.asarray(sum(srcs.values()))
 
+    # train steps donate their param/opt buffers: give each call its own copy
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
     init_opt, step1 = make_train_step(cfg, 1e-4)
-    p1, s1, o1, l1 = step1(params, {}, init_opt(params), batch,
+    p1, s1, o1, l1 = step1(copy(params), {}, init_opt(params), batch,
                            jax.random.PRNGKey(0))
 
     mesh = make_mesh()
     init_opt, step8 = make_train_step(cfg, 1e-4, mesh=mesh)
-    p8, s8, o8, l8 = step8(params, {}, init_opt(params), batch,
+    p8, s8, o8, l8 = step8(copy(params), {}, init_opt(params), batch,
                            jax.random.PRNGKey(0))
 
     np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)

@@ -96,8 +96,9 @@ def test_spectrogram_train_step(rng):
             for s in cfg.source_names}
     batch = {k: jnp.asarray(v) for k, v in srcs.items()}
     batch["mix"] = jnp.asarray(sum(srcs.values()))
+    k = f"{cfg.source_names[0]}/down_0_bn"
+    mean_before = np.asarray(mstate[k]["mean"]).copy()  # step donates buffers
     p2, s2, opt_state, loss = step(params, mstate, opt_state, batch,
                                    jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
-    k = f"{cfg.source_names[0]}/down_0_bn"
-    assert float(jnp.max(jnp.abs(s2[k]["mean"] - mstate[k]["mean"]))) > 0
+    assert float(np.max(np.abs(np.asarray(s2[k]["mean"]) - mean_before))) > 0

@@ -106,14 +106,17 @@ def make_train_step(cfg: Config, lr: float,
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, loss
 
+    # Donating params/state/opt buffers lets XLA update Adam slots in place
+    # instead of allocating a second copy of every parameter each step.
     if mesh is None:
-        return tx.init, jax.jit(step)
+        return tx.init, jax.jit(step, donate_argnums=(0, 1, 2))
     rep, data = _shardings(mesh)
     # in_shardings prefixes broadcast over pytrees: every leaf of `batch` is
     # sharded on its leading (batch) axis; params/opt state are replicated.
     step_jit = jax.jit(step,
                        in_shardings=(rep, rep, rep, data, rep),
-                       out_shardings=(rep, rep, rep, rep))
+                       out_shardings=(rep, rep, rep, rep),
+                       donate_argnums=(0, 1, 2))
     return tx.init, step_jit
 
 
