@@ -99,3 +99,40 @@ def test_spectrogram_separator_engine(rng):
     for v in preds.values():
         assert v.shape == (n, 1)
         assert np.all(np.isfinite(v))
+
+
+def test_optimise_spectrogram_u7(tmp_path):
+    """The full driver also trains the spectrogram net (BN state threading
+    through step/checkpoint/eval)."""
+    from waveunet_tpu.train.loop import optimise
+
+    cfg = get_config("unet_spectrogram", num_layers=3,
+                     num_frames=768 * 15 + 1024, batch_size=1, epoch_it=2,
+                     num_snippets_per_track=2, cache_size=4, worse_epochs=1,
+                     data_path=str(tmp_path / "cache"),
+                     model_base_dir=str(tmp_path / "ckpts"),
+                     log_dir=str(tmp_path / "logs"))
+    _make_cache(tmp_path, cfg, n_songs=2, seconds=2.0)
+    best, test_loss = optimise(cfg, experiment_id="u7",
+                               max_epochs_per_round=1)
+    assert np.isfinite(test_loss) and best
+
+
+def test_u7a_l1_magnitude_loss_step(rng):
+    """U7a: L1 loss on STFT magnitudes (`Training.py:55-60`) trains one step."""
+    from waveunet_tpu.models.spectrogram_unet import init_spectrogram_unet
+    from waveunet_tpu.train.step import make_train_step
+
+    cfg = get_config("unet_spectrogram_l1", num_layers=3,
+                     num_frames=768 * 15 + 1024, batch_size=1)
+    params, mstate = init_spectrogram_unet(jax.random.PRNGKey(0), cfg)
+    init_opt, step = make_train_step(cfg, 1e-4)
+    n = cfg.num_frames
+    srcs = {s: jnp.asarray(
+        (0.1 * rng.standard_normal((1, n, 1))).astype(np.float32))
+        for s in cfg.source_names}
+    batch = dict(srcs)
+    batch["mix"] = sum(srcs.values())
+    _, _, _, loss = step(params, mstate, init_opt(params), batch,
+                         jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss)) and float(loss) > 0

@@ -144,12 +144,39 @@ def cmd_prepare_data(args):
     print(f"Cache ready at {cache.cache_dir(cfg)}")
 
 
+def cmd_profile(args):
+    """Capture a jax.profiler trace (xprof/TensorBoard-compatible) of one
+    full-song separation — the tracing/profiling subsystem the reference
+    lacked (SURVEY.md §5)."""
+    _setup_jax()
+    import jax
+    from waveunet_tpu.config import config_from_cli
+    from waveunet_tpu.infer.engine import Separator
+
+    cfg_frags, opts = _split_args(args)
+    cfg = config_from_cli(cfg_frags)
+    params, model_state = _load_params(cfg, opts.get("checkpoint"))
+    sep = Separator(cfg, params, model_state=model_state)
+    sr = cfg.expected_sr
+    seconds = 30.0
+    t = np.arange(int(seconds * sr)) / sr
+    song = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[:, None]
+    if cfg.num_channels == 2:
+        song = np.tile(song, [1, 2])
+    sep.separate(song, sr)  # compile outside the trace
+    out_dir = opts.get("output_path", os.path.join(cfg.log_dir, "profile"))
+    with jax.profiler.trace(out_dir):
+        sep.separate(song, sr)
+    print(f"trace written to {out_dir} (view with TensorBoard/xprof)")
+
+
 _COMMANDS = {
     "train": cmd_train,
     "predict": cmd_predict,
     "evaluate": cmd_evaluate,
     "prepare-data": cmd_prepare_data,
     "presets": cmd_presets,
+    "profile": cmd_profile,
 }
 
 

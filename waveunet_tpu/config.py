@@ -77,6 +77,11 @@ class Config:
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)
     infer_batch: int = 16  # windows per device batch in the inference engine
+    # Inference window size (desired output samples per window). None = use
+    # num_frames (the reference's behavior). Larger windows amortise the
+    # valid-conv context: at 16384 the net recomputes ~9x overlapped context
+    # (in 147k / out 16k); at 262144 the overlap ratio drops to ~1.5x.
+    infer_num_frames: Optional[int] = None
     # Host->device wire format for full songs: "float32" (exact) or "int16"
     # (2x less transfer; bit-exact for PCM16-derived audio).
     infer_wire_dtype: str = "float32"

@@ -64,7 +64,8 @@ class Separator:
                  mesh: Optional[jax.sharding.Mesh] = None):
         self.cfg = cfg
         self.params = params
-        self.in_len, self.out_len = shapes.get_padding(cfg, cfg.num_frames)
+        frames = cfg.infer_num_frames or cfg.num_frames
+        self.in_len, self.out_len = shapes.get_padding(cfg, frames)
         self.pad = (self.in_len - self.out_len) // 2
         self.mesh = mesh
         self._stitch_cache = {}
