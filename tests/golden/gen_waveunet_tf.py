@@ -43,6 +43,9 @@ CASES = {
     "same_linear_direct_mono": dict(
         preset="baseline", num_layers=3, num_frames=512,
         num_initial_filters=8),
+    # production scale: the full M5-HighSR architecture (12 layers, 24 init
+    # filters, 16384-frame window -> input 147443) at batch 1
+    "full_44khz_production": dict(preset="full_44KHz", batch=1),
 }
 
 
@@ -151,11 +154,12 @@ def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     for case, kw in CASES.items():
         preset = kw.pop("preset")
+        batch = kw.pop("batch", 2)
         cfg = get_config(preset, **kw)
         in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
         rng = np.random.default_rng(42)
         mix_np = (0.4 * rng.standard_normal(
-            (2, in_len, cfg.num_channels))).astype(np.float32)
+            (batch, in_len, cfg.num_channels))).astype(np.float32)
 
         v1.reset_default_graph()
         mix = v1.placeholder(tf.float32, mix_np.shape)

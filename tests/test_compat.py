@@ -26,6 +26,8 @@ _CASES = {
     "same_linear_direct_mono": dict(
         preset="baseline", num_layers=3, num_frames=512,
         num_initial_filters=8),
+    # the full M5-HighSR production architecture (12 layers, 10.2M params)
+    "full_44khz_production": dict(preset="full_44KHz"),
 }
 
 

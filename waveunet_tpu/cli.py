@@ -185,7 +185,12 @@ def main(argv=None):
     if not argv or argv[0] not in _COMMANDS:
         print(__doc__)
         sys.exit(0 if argv and argv[0] in ("-h", "--help") else 2)
-    _COMMANDS[argv[0]](argv[1:])
+    try:
+        _COMMANDS[argv[0]](argv[1:])
+    except KeyError as e:
+        # e.g. unknown preset name: show the message, not a traceback
+        print(f"error: {e.args[0]}", file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":
