@@ -33,13 +33,20 @@ def _ingest_wav_track(track_dir: str) -> Dict[str, str]:
     if not os.path.exists(mix_src):
         raise FileNotFoundError(f"{track_dir}: no mixture.wav")
     paths["mix"] = mix_src
+    have_stems = True
     for stem in _STEMS:
         p = os.path.join(track_dir, f"{stem}.wav")
-        if not os.path.exists(p):
-            raise FileNotFoundError(f"{track_dir}: missing stem {stem}")
-        paths[stem] = p
+        if os.path.exists(p):
+            paths[stem] = p
+        elif stem == "vocals":
+            raise FileNotFoundError(f"{track_dir}: missing stem vocals")
+        else:
+            have_stems = False  # voice-task layout: vocals + accompaniment only
 
     acc_path = os.path.join(track_dir, "accompaniment.wav")
+    if not os.path.exists(acc_path) and not have_stems:
+        raise FileNotFoundError(
+            f"{track_dir}: needs accompaniment.wav or bass/drums/other stems")
     if not os.path.exists(acc_path):
         stems = {s: load(paths[s], sr=None, mono=False)[0] for s in _STEMS}
         sr = load(paths["mix"], sr=None, mono=False)[1]
