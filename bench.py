@@ -58,9 +58,11 @@ def main():
     song = np.stack([song, song], axis=1)
 
     sep = Separator(cfg, params)
-    # Warm-up on the full song (compiles the same length bucket) then best-of-2.
+    # Warm-up on the full song (compiles the same length bucket), then best-of-4
+    # (the host<->device tunnel in this environment has ±30-50% contention
+    # noise; best-of-N isolates the engine from the shared link).
     sep.separate(song, sr)
-    elapsed = min(_timed(sep, song, sr) for _ in range(2))
+    elapsed = min(_timed(sep, song, sr) for _ in range(4))
     rtf = seconds / elapsed
 
     # Reference-style serial baseline: batch-1 jitted forward, one dispatch per

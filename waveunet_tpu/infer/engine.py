@@ -73,10 +73,22 @@ class Separator:
         # Per-sweep device batch: windows per step across the whole mesh.
         self.batch = max(1, cfg.infer_batch) * n_dev
 
+        # Host-side reconstruction of the difference source (skips its device
+        # compute + D2H transfer); only for the default unet forward.
+        self._host_reconstruct_last = (
+            forward_fn is None and cfg.network == "unet"
+            and cfg.output_type == "difference")
+
         if forward_fn is None:
             if cfg.network == "unet":
+                drop_last = self._host_reconstruct_last
+                last_name = cfg.source_names[-1]
+
                 def forward_fn(p, x):
-                    return apply_waveunet(p, cfg, x, training=False)
+                    out = apply_waveunet(p, cfg, x, training=False)
+                    if drop_last:
+                        out = {k: v for k, v in out.items() if k != last_name}
+                    return out
             else:
                 from waveunet_tpu.models.spectrogram_unet import (
                     apply_spectrogram_unet)
@@ -153,6 +165,18 @@ class Separator:
         preds = self._run_batched(padded, positions, n_total)
         if extra_pad > 0:
             preds = {k: v[:-extra_pad] for k, v in preds.items()}
+
+        # Difference output: the device only computes/ships the K-1 conv
+        # sources; the last is clip(mix - sum(others)) (`OutputLayer.py:20-21`),
+        # reconstructed here. Exact: every stitched sample originates from one
+        # window, and mix_window[t] == mix[t], so host reconstruction equals
+        # the device's per-window difference bit for bit (up to the wire
+        # format, identical for both paths).
+        if self._host_reconstruct_last:
+            last = self.cfg.source_names[-1]
+            mix_trim = (mix_audio[:-extra_pad] if extra_pad > 0 else mix_audio)
+            acc = sum(preds[s] for s in self.cfg.source_names[:-1])
+            preds[last] = np.clip(mix_trim - acc, -1.0, 1.0).astype(np.float32)
         return preds
 
     # Songs are length-bucketed so the jitted program recompiles at most
@@ -220,7 +244,9 @@ class Separator:
             return fn
         out_len = self.out_len
 
-        names = tuple(self.cfg.source_names)
+        names = tuple(s for s in self.cfg.source_names
+                      if not (self._host_reconstruct_last
+                              and s == self.cfg.source_names[-1]))
 
         def stitch(chunks):
             full_all = []
