@@ -83,3 +83,19 @@ def test_mesh_separator_matches_single_device(rng):
     multi = Separator(cfg, params, mesh=mesh).separate(audio, cfg.expected_sr)
     for s in cfg.source_names:
         np.testing.assert_allclose(multi[s], single[s], atol=1e-5)
+
+
+def test_pod_helpers_single_host(tmp_path, rng):
+    """Pod glue degrades gracefully to one host: full batch slice, global
+    assembly matches local arrays."""
+    from waveunet_tpu.parallel import distributed as D
+
+    assert D.initialize() == 0
+    assert D.local_batch_slice(8) == slice(0, 8)
+
+    _require_8()
+    mesh = make_mesh()
+    local = {"mix": rng.standard_normal((8, 16, 1)).astype(np.float32)}
+    glob = D.global_batch_from_local(mesh, local)
+    assert glob["mix"].shape == (8, 16, 1)
+    np.testing.assert_allclose(np.asarray(glob["mix"]), local["mix"])

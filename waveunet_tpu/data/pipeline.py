@@ -48,25 +48,45 @@ class BatchPipeline:
         self.keys = list(cfg.source_names) + ["mix"]
 
     # -- iterators -----------------------------------------------------------
+    def _songs_endless(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Endless shuffled song loads, prefetched by cfg.num_workers reader
+        threads (the tf.data `num_parallel_calls` role, `Datasets.py:193`)."""
+        def order_iter():
+            while True:
+                for si in self.rng.permutation(len(self.paths)):
+                    yield self.paths[si]
+
+        paths = order_iter()
+        depth = max(1, self.cfg.num_workers)
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        lock = threading.Lock()
+
+        def reader():
+            while True:
+                with lock:
+                    p = next(paths)
+                q.put(cache.load_song(p))
+
+        for _ in range(depth):
+            threading.Thread(target=reader, daemon=True).start()
+        while True:
+            yield q.get()
+
     def _song_snippets_train(self) -> Iterator[Dict[str, np.ndarray]]:
         """Endless stream of augmented snippet groups, one song visit at a time."""
-        while True:
-            order = self.rng.permutation(len(self.paths))
-            for si in order:
-                tracks = cache.load_song(self.paths[si])
-                length = tracks["mix"].shape[0]
-                if length < self.input_len:
-                    continue
-                pos = sampler.random_snippet_positions(
-                    self.rng, length, self.input_len,
-                    self.cfg.num_snippets_per_track)
-                snip = sampler.extract_snippets(tracks, pos, self.input_len)
-                if self.cfg.augmentation:
-                    snip = sampler.random_amplify(snip, self.rng,
-                                                  self.cfg.source_names)
-                snip = sampler.crop_targets(snip, self.pad,
-                                            self.cfg.source_names)
-                yield snip
+        for tracks in self._songs_endless():
+            length = tracks["mix"].shape[0]
+            if length < self.input_len:
+                continue
+            pos = sampler.random_snippet_positions(
+                self.rng, length, self.input_len,
+                self.cfg.num_snippets_per_track)
+            snip = sampler.extract_snippets(tracks, pos, self.input_len)
+            if self.cfg.augmentation:
+                snip = sampler.random_amplify(snip, self.rng,
+                                              self.cfg.source_names)
+            snip = sampler.crop_targets(snip, self.pad, self.cfg.source_names)
+            yield snip
 
     def train_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         """Endless shuffled fixed-shape batches (shuffle buffer ~= cache_size)."""
