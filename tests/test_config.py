@@ -1,0 +1,64 @@
+"""Config system tests: presets, overrides, derived fields, round-trips."""
+
+import json
+
+import pytest
+
+from waveunet_tpu.config import Config, config_from_cli, get_config, preset_names
+
+
+def test_all_presets_construct():
+    assert len(preset_names()) == 11
+    for name in preset_names():
+        cfg = get_config(name)
+        assert cfg.num_sources == len(cfg.source_names)
+
+
+def test_derived_fields():
+    cfg = get_config("full_multi_instrument")
+    assert cfg.source_names == ("bass", "drums", "other", "vocals")
+    assert cfg.num_sources == 4
+    assert cfg.num_channels == 2
+    cfg = get_config("baseline")
+    assert cfg.source_names == ("accompaniment", "vocals")
+    assert cfg.num_channels == 1
+
+
+def test_preset_values_match_reference():
+    """Spot-check preset deltas against `/root/reference/Config.py:52-161`."""
+    full = get_config("full_44KHz")
+    assert (full.output_type, full.context, full.upsampling,
+            full.mono_downmix, full.expected_sr) == (
+        "difference", True, "learned", False, 44100)
+    comp = get_config("baseline_comparison")
+    assert (comp.batch_size, comp.num_frames, comp.expected_sr,
+            comp.num_initial_filters) == (4, 768 * 127 + 1024, 8192, 34)
+    u7a = get_config("unet_spectrogram_l1")
+    assert u7a.network == "unet_spectrogram" and not u7a.raw_audio_loss
+    deep = get_config("baseline_context_smallfilter_deep")
+    assert (deep.num_layers, deep.filter_size, deep.merge_filter_size,
+            deep.duration) == (14, 5, 1, 7)
+
+
+def test_cli_grammar():
+    cfg = config_from_cli(["baseline_diff", "batch_size=4",
+                           "expected_sr=8192", "augmentation=false"])
+    assert cfg.output_type == "difference"
+    assert cfg.batch_size == 4 and cfg.expected_sr == 8192
+    assert cfg.augmentation is False
+
+
+def test_json_roundtrip():
+    cfg = get_config("full", batch_size=3)
+    d = json.loads(cfg.to_json())
+    cfg2 = Config.from_dict(d)
+    assert cfg2 == cfg
+
+
+def test_invalid_values_rejected():
+    with pytest.raises(NotImplementedError):
+        get_config("baseline", task="karaoke")
+    with pytest.raises(NotImplementedError):
+        get_config("baseline", output_type="both")
+    with pytest.raises(KeyError):
+        get_config("nonexistent")

@@ -102,3 +102,27 @@ def test_spectrogram_train_step(rng):
                                    jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
     assert float(np.max(np.abs(np.asarray(s2[k]["mean"]) - mean_before))) > 0
+
+
+def test_remat_matches_plain_grads(rng):
+    """jax.checkpoint rematerialisation must not change loss or gradients."""
+    from waveunet_tpu.train.step import make_loss_fn
+
+    base = get_config("baseline", num_layers=2, num_frames=128,
+                      num_initial_filters=8)
+    params = init_waveunet(jax.random.PRNGKey(0), base)
+    batch = _batch(base, rng)
+
+    def grads(cfg):
+        loss_fn = make_loss_fn(cfg, training=True)
+        (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, {}, batch, None)
+        return float(l), g
+
+    l0, g0 = grads(base)
+    l1, g1 = grads(base.replace(remat=True))
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]["kernel"]),
+                                   np.asarray(g1[k]["kernel"]),
+                                   rtol=1e-5, atol=1e-7)

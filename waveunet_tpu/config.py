@@ -73,6 +73,10 @@ class Config:
     # --- TPU-native additions ---
     seed: int = 1337  # reference fixes sacred seed 1337 (`Training.py:19-22`)
     compute_dtype: str = "float32"  # "float32" | "bfloat16" for conv compute
+    # Rematerialise conv blocks in the backward pass (jax.checkpoint): trades
+    # ~1 extra forward for O(depth) less activation memory — for very long
+    # training windows / large batches on small chips.
+    remat: bool = False
     use_pallas: bool = False  # use hand-written Pallas kernels for hot ops
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)

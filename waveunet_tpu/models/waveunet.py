@@ -110,6 +110,11 @@ def apply_waveunet(params: Params, cfg: Config, mix: jnp.ndarray,
             return conv1d_lrelu_pallas(x, p["kernel"], p["bias"])
         return leaky_relu(conv(x, p))
 
+    if cfg.remat and training:
+        # Recompute conv activations in the backward pass instead of storing
+        # them: O(depth) activation-memory reduction for long windows.
+        conv_act = jax.checkpoint(conv_act)
+
     skips: List[jnp.ndarray] = []
     cur = mix
     for i in range(cfg.num_layers):
