@@ -69,3 +69,27 @@ def test_missing_variable_raises(tmp_path):
     with pytest.raises((RuntimeError, KeyError)):
         load_tf_waveunet(str(tmp_path / "nonexistent.ckpt"), cfg,
                          arrays={})
+
+
+def test_tf_spectrogram_checkpoint_parity():
+    """U7 spectrogram checkpoint conversion + inference-mode forward parity vs
+    the TF golden (conv2d/transpose/BN/STFT/mask/iSTFT chain end to end)."""
+    from waveunet_tpu.compat.tf_checkpoint import load_tf_spectrogram
+    from waveunet_tpu.models.spectrogram_unet import apply_spectrogram_unet
+
+    gdir = os.path.join(os.path.dirname(__file__), "golden", "spectro_tf")
+    npz = os.path.join(gdir, "golden.npz")
+    if not os.path.exists(npz):
+        pytest.skip("spectro golden missing; run tests/golden/gen_spectro_tf.py")
+    cfg = get_config("unet_spectrogram", num_layers=3,
+                     num_frames=768 * 15 + 1024, batch_size=1,
+                     num_initial_filters=8)
+    params, state = load_tf_spectrogram(os.path.join(gdir, "model.ckpt"), cfg)
+    z = np.load(npz)
+    out, _ = apply_spectrogram_unet(params, cfg, jnp.asarray(z["mix"]),
+                                    training=False, state=state)
+    for name in cfg.source_names:
+        got = np.asarray(out[name])
+        want = z[f"out_{name}"]
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5, err_msg=name)

@@ -91,8 +91,11 @@ def _load_params(cfg, checkpoint):
         return st.params, st.model_state
     if checkpoint.endswith(".ckpt") or os.path.isfile(checkpoint + ".index"):
         # TF-format checkpoint from the reference zoo -> convert.
-        from waveunet_tpu.compat.tf_checkpoint import load_tf_waveunet
-        return load_tf_waveunet(checkpoint, cfg), {}
+        if cfg.network == "unet":
+            from waveunet_tpu.compat.tf_checkpoint import load_tf_waveunet
+            return load_tf_waveunet(checkpoint, cfg), {}
+        from waveunet_tpu.compat.tf_checkpoint import load_tf_spectrogram
+        return load_tf_spectrogram(checkpoint, cfg)
     restored = ckpt.restore_checkpoint(checkpoint)
     return restored["params"], restored.get("model_state", {})
 

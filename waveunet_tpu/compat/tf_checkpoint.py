@@ -91,6 +91,87 @@ def tf_var_prefix(cfg: Config, param_key: str) -> str:
     raise KeyError(f"unknown param key {param_key!r}")
 
 
+def tf_spectro_var_prefix(cfg: Config, key: str) -> str:
+    """Map a spectrogram-net param/state key to its TF variable prefix.
+
+    The reference builds one U-Net per source inside ``variable_scope
+    ("separator")`` (`UnetSpectrogramSeparator.py:63-86`); tf.layers auto-names
+    continue across the source loop, so per source s (0-based), with L layers:
+
+      down conv i        -> separator/conv2d_{s*L + i}
+      down BN i          -> separator/BatchNorm_{s*(2L-1) + i}
+      up transpose i     -> separator/conv2d_transpose_{s*L + i}
+      up BN i            -> separator/BatchNorm_{s*(2L-1) + L + i}
+      mask transpose     -> separator/conv2d_transpose_{s*L + L - 1}
+
+    (the unsuffixed first name is index 0). BN variables are beta /
+    moving_mean / moving_variance (scale=False: no gamma).
+    """
+    L = cfg.num_layers
+    src, rest = key.split("/", 1)
+    s = list(cfg.source_names).index(src)
+
+    def nm(base: str, n: int) -> str:
+        return f"separator/{base}" if n == 0 else f"separator/{base}_{n}"
+
+    if rest.startswith("down_"):
+        i = int(rest[len("down_"):].split("_")[0])
+        if rest.endswith("_bn"):
+            return nm("BatchNorm", s * (2 * L - 1) + i)
+        return nm("conv2d", s * L + i)
+    if rest.startswith("up_"):
+        i = int(rest[len("up_"):].split("_")[0])
+        if rest.endswith("_bn"):
+            return nm("BatchNorm", s * (2 * L - 1) + L + i)
+        return nm("conv2d_transpose", s * L + i)
+    if rest == "mask":
+        return nm("conv2d_transpose", s * L + L - 1)
+    raise KeyError(f"unknown spectrogram param key {key!r}")
+
+
+def load_tf_spectrogram(ckpt_path: str, cfg: Config,
+                        arrays: Dict[str, np.ndarray] = None):
+    """Convert a spectrogram-U-Net (U7/U7a) TF checkpoint -> (params, state)."""
+    import jax
+    import jax.numpy as jnp
+
+    from waveunet_tpu.models.spectrogram_unet import init_spectrogram_unet
+
+    if arrays is None:
+        arrays = read_tf_checkpoint(ckpt_path)
+    t_params, t_state = init_spectrogram_unet(jax.random.PRNGKey(0), cfg)
+
+    def fetch(name, like):
+        src = arrays.get(name)
+        if src is None:
+            raise KeyError(f"missing TF variable {name}")
+        if src.shape != like.shape:
+            raise ValueError(f"{name}: shape {src.shape} != {like.shape}")
+        return jnp.asarray(src, jnp.float32)
+
+    params, state = {}, {}
+    for key, leaf in t_params.items():
+        prefix = tf_spectro_var_prefix(cfg, key)
+        if key.endswith("_bn"):
+            params[key] = {"beta": fetch(prefix + "/beta", leaf["beta"])}
+        else:
+            params[key] = {
+                "kernel": fetch(prefix + "/weights"
+                                if prefix + "/weights" in arrays
+                                else prefix + "/kernel", leaf["kernel"]),
+                "bias": fetch(prefix + "/biases"
+                              if prefix + "/biases" in arrays
+                              else prefix + "/bias", leaf["bias"]),
+            }
+    for key, leaf in t_state.items():
+        prefix = tf_spectro_var_prefix(cfg, key)
+        state[key] = {
+            "mean": fetch(prefix + "/moving_mean", leaf["mean"]),
+            "var": fetch(prefix + "/moving_variance", leaf["var"]),
+        }
+    return params, state
+
+
 def load_tf_waveunet(ckpt_path: str, cfg: Config,
                      arrays: Dict[str, np.ndarray] = None):
     """Convert a reference Wave-U-Net checkpoint into our parameter pytree."""
@@ -98,8 +179,7 @@ def load_tf_waveunet(ckpt_path: str, cfg: Config,
 
     if cfg.network != "unet":
         raise NotImplementedError(
-            "only UnetAudioSeparator checkpoints are mapped (the published zoo "
-            "contains no spectrogram-net checkpoints)")
+            "use load_tf_spectrogram for unet_spectrogram configs")
     if arrays is None:
         arrays = read_tf_checkpoint(ckpt_path)
 
