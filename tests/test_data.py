@@ -138,3 +138,50 @@ def test_host_sharding(tmp_path, cfg):
     p1 = BatchPipeline(cfg, "train", 1024, 1024, host_id=1, num_hosts=2)
     assert set(p0.paths).isdisjoint(p1.paths)
     assert len(p0.paths) + len(p1.paths) == 3
+
+
+def test_device_bank_semantics(tmp_path, cfg):
+    """Device-resident sampler: shapes, mix==sum(sources), augment range,
+    target crop, determinism per key."""
+    import jax
+    import jax.numpy as jnp
+    from waveunet_tpu.data.device_cache import DeviceBank
+
+    _synthetic_dataset(tmp_path / "wavs", cfg)
+    in_len = out_len = cfg.num_frames
+    bank = DeviceBank(cfg, "train", in_len, out_len, batch_size=4)
+    it = bank.batches(jax.random.PRNGKey(0))
+    b = next(it)
+    assert b["mix"].shape == (4, in_len, 1)
+    assert b["vocals"].shape == (4, out_len, 1)
+    np.testing.assert_allclose(np.asarray(b["mix"]),
+                               np.asarray(b["vocals"] + b["accompaniment"]),
+                               atol=1e-4)
+    # determinism: same key -> same batch
+    b2 = next(DeviceBank(cfg, "train", in_len, out_len,
+                         batch_size=4).batches(jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(np.asarray(b["mix"]), np.asarray(b2["mix"]))
+
+
+def test_device_bank_target_crop(tmp_path):
+    import jax
+    from waveunet_tpu.data.device_cache import DeviceBank
+    from waveunet_tpu.ops import shapes as S
+
+    cfg = get_config("baseline_context", data_path=str(tmp_path / "cache"),
+                     num_frames=1024, batch_size=2, num_layers=4)
+    in_len, out_len = S.get_padding(cfg, cfg.num_frames)
+    _synthetic_dataset(tmp_path / "wavs", cfg, seconds=2.0)
+    bank = DeviceBank(cfg, "train", in_len, out_len, batch_size=2)
+    b = next(bank.batches(jax.random.PRNGKey(1)))
+    assert b["mix"].shape[1] == in_len
+    assert b["vocals"].shape[1] == out_len
+
+
+def test_device_bank_budget(tmp_path, cfg):
+    from waveunet_tpu.data.device_cache import DeviceBank
+
+    _synthetic_dataset(tmp_path / "wavs", cfg)
+    with pytest.raises(ValueError):
+        DeviceBank(cfg, "train", cfg.num_frames, cfg.num_frames,
+                   max_bytes=10)

@@ -77,6 +77,11 @@ class Config:
     # ~1 extra forward for O(depth) less activation memory — for very long
     # training windows / large batches on small chips.
     remat: bool = False
+    # Keep the training source bank resident in device HBM (int16) and sample
+    # snippets on device — zero host->device bytes per step. Falls back to the
+    # host pipeline when the bank exceeds the budget below.
+    device_data: bool = True
+    device_data_max_bytes: int = 8 * 1024 ** 3
     use_pallas: bool = False  # use hand-written Pallas kernels for hot ops
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)

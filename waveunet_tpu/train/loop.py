@@ -43,6 +43,25 @@ class TrainState:
                 "opt_state": self.opt_state, "step": self.step}
 
 
+def make_train_iterator(cfg: Config, in_len: int, out_len: int,
+                        seed_offset: int = 0):
+    """Training batch source: device-resident HBM bank when it fits
+    (zero per-step host transfer), else the prefetched host pipeline."""
+    if cfg.device_data:
+        try:
+            from waveunet_tpu.data.device_cache import DeviceBank
+            bank = DeviceBank(cfg, "train", in_len, out_len,
+                              max_bytes=cfg.device_data_max_bytes)
+            print(f"Training from device-resident bank: {bank.n_songs} "
+                  f"songs, {bank.nbytes() / 1e6:.0f} MB HBM")
+            return bank.batches(jax.random.PRNGKey(cfg.seed + seed_offset))
+        except (FileNotFoundError, ValueError) as e:
+            print(f"Device bank unavailable ({e}); using host pipeline")
+    pipe = BatchPipeline(cfg, "train", in_len, out_len,
+                         seed=cfg.seed + seed_offset)
+    return pipe.prefetched(pipe.train_batches())
+
+
 def init_state(cfg: Config, rng=None) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     if cfg.network == "unet":
@@ -124,9 +143,7 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
         state = TrainState(state.params, state.model_state,
                            init_opt(state.params), state.step)
 
-        train_pipe = BatchPipeline(rcfg, "train", in_len, out_len,
-                                   seed=rcfg.seed + rnd)
-        train_it = train_pipe.prefetched(train_pipe.train_batches())
+        train_it = make_train_iterator(rcfg, in_len, out_len, seed_offset=rnd)
 
         worse = 0
         epochs_this_round = 0
