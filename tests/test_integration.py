@@ -136,3 +136,24 @@ def test_u7a_l1_magnitude_loss_step(rng):
     _, _, _, loss = step(params, mstate, init_opt(params), batch,
                          jax.random.PRNGKey(0))
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_optimise_on_mesh_with_device_bank(tmp_path):
+    """optimise() over the 8-device mesh with the device-resident bank:
+    sharded train step + bank sampling + eval all compose."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from waveunet_tpu.parallel.mesh import make_mesh
+    from waveunet_tpu.train.loop import optimise
+
+    cfg = get_config("baseline", num_layers=2, num_frames=256,
+                     num_initial_filters=4, batch_size=8, epoch_it=3,
+                     num_snippets_per_track=4, cache_size=8, worse_epochs=1,
+                     data_path=str(tmp_path / "cache"),
+                     model_base_dir=str(tmp_path / "ckpts"),
+                     log_dir=str(tmp_path / "logs"))
+    _make_cache(tmp_path, cfg)
+    best, test_loss = optimise(cfg, experiment_id="mesh",
+                               mesh=make_mesh(), max_epochs_per_round=1)
+    assert np.isfinite(test_loss) and best

@@ -1,0 +1,67 @@
+"""Streaming separation tests: chunked pushes match offline separation."""
+
+import numpy as np
+import jax
+import pytest
+
+from waveunet_tpu.config import get_config
+from waveunet_tpu.infer.engine import Separator
+from waveunet_tpu.infer.streaming import StreamingSeparator
+from waveunet_tpu.models.waveunet import init_waveunet
+
+
+@pytest.fixture(scope="module")
+def setup(rng):
+    cfg = get_config("baseline_context", num_layers=3, num_frames=256)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    n = 2000
+    audio = (0.1 * rng.standard_normal((n, 1))).astype(np.float32)
+    return cfg, params, audio
+
+
+@pytest.mark.parametrize("chunk_size", [37, 256, 999])
+def test_stream_matches_offline(setup, chunk_size):
+    cfg, params, audio = setup
+    offline = Separator(cfg, params).separate(audio, cfg.expected_sr)
+
+    stream = StreamingSeparator(cfg, params)
+    got = {s: [] for s in cfg.source_names}
+    for i in range(0, audio.shape[0], chunk_size):
+        out = stream.push(audio[i:i + chunk_size])
+        for s, v in out.items():
+            got[s].append(v)
+    out = stream.flush()
+    for s, v in out.items():
+        got[s].append(v)
+    got = {s: np.concatenate(v) for s, v in got.items()}
+
+    # the offline engine right-aligns its FINAL window into future context and
+    # overwrites [n - out_len, n); a stream cannot see that future, so exact
+    # equality holds for everything before that region.
+    n_cmp = audio.shape[0] - stream.out_len
+    for s in cfg.source_names:
+        assert got[s].shape[0] == audio.shape[0]
+        np.testing.assert_allclose(got[s][:n_cmp], offline[s][:n_cmp],
+                                   atol=1e-5, err_msg=s)
+
+
+def test_stream_incremental_availability(setup):
+    cfg, params, audio = setup
+    stream = StreamingSeparator(cfg, params)
+    # pushing less than one full window yields nothing
+    out = stream.push(audio[:stream.out_len // 2])
+    assert out[cfg.source_names[0]].shape[0] == 0
+    # after enough samples for one window, exactly out_len samples emerge
+    need = stream.in_len - stream.pad - stream.out_len // 2
+    out = stream.push(audio[stream.out_len // 2:stream.out_len // 2 + need])
+    assert out[cfg.source_names[0]].shape[0] == stream.out_len
+
+
+def test_stream_reset(setup):
+    cfg, params, audio = setup
+    stream = StreamingSeparator(cfg, params)
+    stream.push(audio[:500])
+    stream.reset()
+    out = stream.push(audio[:10])
+    assert out[cfg.source_names[0]].shape[0] == 0
+    assert stream.latency_samples == stream.out_len + stream.pad

@@ -74,8 +74,14 @@ def cmd_train(args):
         cache.prepare_dataset(cfg, pad)
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     max_ep = int(opts["max_epochs"]) if "max_epochs" in opts else None
+    resume = opts.get("checkpoint")
+    if resume == "auto":  # crash-resume from the newest checkpoint, if any
+        from waveunet_tpu.train.checkpoint import latest_checkpoint
+        resume = latest_checkpoint(cfg.model_base_dir,
+                                   opts.get("experiment_id", ""))
+        print(f"auto-resume: {resume or 'no checkpoint found, fresh start'}")
     path, test_loss = optimise(cfg, experiment_id=opts.get("experiment_id"),
-                               mesh=mesh, resume_path=opts.get("checkpoint"),
+                               mesh=mesh, resume_path=resume,
                                max_epochs_per_round=max_ep)
     print(f"Best model: {path}; test loss {test_loss}")
 
