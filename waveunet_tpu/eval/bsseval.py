@@ -107,6 +107,28 @@ def _safe_solve(G: np.ndarray, D: np.ndarray) -> np.ndarray:
         return np.linalg.lstsq(G, D, rcond=None)[0]
 
 
+class _GramSolver:
+    """LU-factorise the all-sources Gram once per window; every estimated
+    source reuses the factorisation (the Gram is estimate-independent)."""
+
+    def __init__(self, G: np.ndarray):
+        from scipy.linalg import lu_factor
+        self._G = G
+        try:
+            self._lu = lu_factor(G, check_finite=False)
+        except Exception:
+            self._lu = None
+
+    def solve(self, D: np.ndarray) -> np.ndarray:
+        if self._lu is not None:
+            from scipy.linalg import lu_solve
+            out = lu_solve(self._lu, D, check_finite=False)
+            if np.all(np.isfinite(out)):
+                return out
+        # singular Gram (e.g. silent sources): minimum-norm solution
+        return np.linalg.lstsq(self._G, D, rcond=None)[0]
+
+
 def _db(num: float, den: float) -> float:
     if den <= 0:
         return np.inf if num > 0 else np.nan
@@ -137,12 +159,13 @@ def bss_eval_window(references: np.ndarray, estimates: np.ndarray,
         return {"SDR": sdr, "ISR": isr, "SIR": sir, "SAR": sar}
 
     G_all = _gram(refs_flat, L)  # one Gram per window, shared by all sources
+    solver = _GramSolver(G_all)
     for j in range(S):
         if ref_energy[j] == 0:
             continue
         est = estimates[j].T  # [C, n]
         D_all = _cross(refs_flat, est, L)
-        A_all = _safe_solve(G_all, D_all)
+        A_all = solver.solve(D_all)
         proj_all = _project(refs_flat, A_all, n_out)
 
         # Sub-system for the single-source (spatial) projection.
