@@ -163,3 +163,9 @@ def test_harness_multi_instrument(tmp_path, rng):
     stats = evaluate_musdb(cfg, params, subset="test",
                            output_path=str(tmp_path / "est"), max_tracks=1)
     assert len(stats) == 4  # vocals, drums, bass, other
+
+
+def test_spectrogram_figure(tmp_path, bundled_wav):
+    from waveunet_tpu.eval.plot import draw_spectrogram
+    out = draw_spectrogram(bundled_wav, str(tmp_path / "spec.png"))
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
