@@ -144,3 +144,19 @@ def test_conv1d(rng, padding):
     got = np.asarray(conv1d(jnp.asarray(x), p, padding=padding))
     want = _conv1d_oracle(x, np.asarray(p["kernel"]), np.asarray(p["bias"]), padding)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_utils_migration_shim(rng):
+    """The reference-style Utils surface maps onto the TPU-native ops."""
+    import jax.numpy as jnp
+    from waveunet_tpu import utils as U
+
+    x = jnp.asarray(rng.standard_normal((1, 10, 2)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(U.crop(x, [1, 6, 2])),
+                                  np.asarray(x[:, 2:8, :]))
+    np.testing.assert_allclose(np.asarray(U.LeakyReLU(x)),
+                               np.maximum(0.2 * np.asarray(x), np.asarray(x)))
+    y = U.AudioClip(jnp.asarray([2.0, -3.0]), training=False)
+    np.testing.assert_array_equal(np.asarray(y), [1.0, -1.0])
+    r = U.resample(np.ones(1000, np.float32), 22050, 44100)
+    assert r.shape[0] == 2000

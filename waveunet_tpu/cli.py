@@ -72,7 +72,14 @@ def cmd_train(args):
         pad = shapes.context_pad(cfg, cfg.num_frames)
         print("Preparing dataset cache...")
         cache.prepare_dataset(cfg, pad)
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and cfg.batch_size % n_dev == 0:
+        mesh = make_mesh()
+    else:
+        if n_dev > 1:
+            print(f"WARNING: batch_size {cfg.batch_size} not divisible by "
+                  f"{n_dev} devices; training on one device")
+        mesh = None
     max_ep = int(opts["max_epochs"]) if "max_epochs" in opts else None
     resume = opts.get("checkpoint")
     if resume == "auto":  # crash-resume from the newest checkpoint, if any
@@ -179,8 +186,37 @@ def cmd_profile(args):
     print(f"trace written to {out_dir} (view with TensorBoard/xprof)")
 
 
+def cmd_warmup(args):
+    """Precompile the inference programs for a preset (all standard length
+    buckets) into the persistent XLA cache, so serving cold-starts are fast."""
+    _setup_jax()
+    import jax
+    import numpy as np
+
+    from waveunet_tpu.config import config_from_cli
+    from waveunet_tpu.infer.engine import Separator
+    from waveunet_tpu.models.waveunet import init_waveunet
+
+    cfg_frags, opts = _split_args(args)
+    cfg = config_from_cli(cfg_frags)
+    params, model_state = _load_params(cfg, opts.get("checkpoint"))
+    sep = Separator(cfg, params, model_state=model_state)
+    # one song per length bucket up to ~6 minutes
+    sr = cfg.expected_sr
+    bucket = Separator._LEN_BUCKET
+    max_len = int(6 * 60 * sr)
+    n = bucket - 2 * sep.pad - 1
+    while n < max_len:
+        audio = np.zeros((max(n, sep.out_len), cfg.num_channels), np.float32)
+        print(f"compiling bucket for {audio.shape[0] / sr:.0f} s songs...")
+        sep.separate(audio, sr)
+        n += bucket
+    print("warmup complete; compiled programs persisted to the XLA cache")
+
+
 _COMMANDS = {
     "train": cmd_train,
+    "warmup": cmd_warmup,
     "predict": cmd_predict,
     "evaluate": cmd_evaluate,
     "prepare-data": cmd_prepare_data,

@@ -1,0 +1,57 @@
+"""Migration shim: the reference's ``Utils`` surface, mapped to this framework.
+
+Users porting scripts from f90/Wave-U-Net import helpers from a flat
+``Utils`` module (`/root/reference/Utils.py`); this module exposes the same
+capabilities under their familiar names, implemented by the TPU-native ops:
+
+  crop, crop_and_concat, LeakyReLU, AudioClip, pad_freqs   -> ops.primitives
+  resample, load                                           -> ops.resample / data.audio_io
+  spectrogramToAudioFile (Griffin-Lim)                     -> ops.stft.griffin_lim
+  getNumParams                                             -> models.waveunet.num_params
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from waveunet_tpu.data.audio_io import load  # noqa: F401  (same contract)
+from waveunet_tpu.models.waveunet import num_params as getNumParams  # noqa: F401
+from waveunet_tpu.ops.primitives import (  # noqa: F401
+    crop_and_concat,
+    pad_freqs,
+)
+from waveunet_tpu.ops.primitives import audio_clip as AudioClip  # noqa: F401
+from waveunet_tpu.ops.primitives import crop as _crop
+from waveunet_tpu.ops.primitives import leaky_relu as LeakyReLU  # noqa: F401
+from waveunet_tpu.ops.resample import resample  # noqa: F401
+from waveunet_tpu.ops.stft import griffin_lim
+
+
+def crop(tensor, target_shape, match_feature_dim=True):
+    """Centre-crop along the width axis; accepts a full target shape like the
+    reference (`Utils.py:104-123`) or a plain target length."""
+    target_len = target_shape[1] if hasattr(target_shape, "__len__") \
+        else int(target_shape)
+    return _crop(tensor, target_len)
+
+
+def spectrogramToAudioFile(magnitude: np.ndarray, fftWindowSize: int = 1024,
+                           hopSize: int = 768, phaseIterations: int = 10,
+                           phase: Optional[np.ndarray] = None,
+                           length: Optional[int] = None) -> np.ndarray:
+    """Magnitude (+optional initial phase) -> audio via Griffin-Lim
+    (`/root/reference/Utils.py:125-146` semantics). magnitude is [frames, bins]."""
+    if phase is not None and phaseIterations == 0:
+        import jax.numpy as jnp
+
+        from waveunet_tpu.ops.stft import istft
+        spec = magnitude * np.exp(1j * phase)
+        audio = np.asarray(istft(jnp.asarray(spec), fftWindowSize, hopSize))
+        if length is not None:
+            audio = audio[..., :length]
+        return audio
+    return griffin_lim(magnitude, fftWindowSize, hopSize,
+                       iterations=phaseIterations, init_phase=phase,
+                       length=length)
