@@ -185,3 +185,23 @@ def test_device_bank_budget(tmp_path, cfg):
     with pytest.raises(ValueError):
         DeviceBank(cfg, "train", cfg.num_frames, cfg.num_frames,
                    max_bytes=10)
+
+
+def test_device_bank_multi_instrument(tmp_path):
+    import jax
+    from waveunet_tpu.data.device_cache import DeviceBank
+
+    cfg = get_config("full_multi_instrument", data_path=str(tmp_path / "cache"),
+                     num_frames=512, num_layers=3, batch_size=2)
+    from waveunet_tpu.ops import shapes as S
+    in_len, out_len = S.get_padding(cfg, cfg.num_frames)
+    _synthetic_dataset(tmp_path / "wavs", cfg, seconds=2.0)
+    bank = DeviceBank(cfg, "train", in_len, out_len, batch_size=2)
+    b = next(bank.batches(jax.random.PRNGKey(0)))
+    assert set(b) == {"bass", "drums", "other", "vocals", "mix"}
+    # mix (at input length) equals the sum of (augmented) sources (cropped to
+    # the output window) over the aligned centre region
+    pad = (in_len - out_len) // 2
+    total = sum(np.asarray(b[s]) for s in cfg.source_names)
+    mix_inner = np.asarray(b["mix"])[:, pad:pad + out_len]
+    np.testing.assert_allclose(total, mix_inner, atol=1e-4)
