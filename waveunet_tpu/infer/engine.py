@@ -68,7 +68,6 @@ class Separator:
         self.in_len, self.out_len = shapes.get_padding(cfg, frames)
         self.pad = (self.in_len - self.out_len) // 2
         self.mesh = mesh
-        self._stitch_cache = {}
         n_dev = 1 if mesh is None else mesh.size
         # Per-sweep device batch: windows per step across the whole mesh.
         self.batch = max(1, cfg.infer_batch) * n_dev
@@ -123,7 +122,14 @@ class Separator:
             wins = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(song, (s, 0), (in_len, n_ch))
             )(pos)
-            return forward_fn(params, wins)
+            out = forward_fn(params, wins)
+            if wire == "int16":
+                # quantise on device: halves the D2H wire (lossless vs the
+                # PCM16 output WAVs)
+                out = {k: jnp.round(jnp.clip(v, -1.0, 1.0) * 32767.0
+                                    ).astype(jnp.int16)
+                       for k, v in out.items()}
+            return out
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -221,59 +227,36 @@ class Separator:
         dpos = jnp.asarray(pos_pad)  # single tiny H2D; chunks slice on device
         futures = []
         for ci in range(n_chunks):
-            futures.append(self._fwd(self.params, song,
-                                     jax.lax.slice(dpos, (ci * bs,),
-                                                   ((ci + 1) * bs,))))
+            res = self._fwd(self.params, song,
+                            jax.lax.slice(dpos, (ci * bs,), ((ci + 1) * bs,)))
+            for v in res.values():  # start D2H as soon as each chunk finishes
+                try:
+                    v.copy_to_host_async()
+                except Exception:
+                    pass
+            futures.append(res)
 
-        stitch = self._get_stitch(n_chunks, n_win, n_total, wire16)
-        names, stacked = stitch(futures)
-        # Drain compute before starting the D2H pull — interleaving the fetch
-        # with in-flight compute measurably degrades the (tunneled) link. One
-        # stacked [S, n, C] array = one transfer, one fixed latency.
-        jax.block_until_ready(stacked)
-        host = np.asarray(stacked)
-        if wire16:
-            host = host.astype(np.float32) / 32767.0
-        return {name: host[i] for i, name in enumerate(names)}
-
-    def _get_stitch(self, n_chunks: int, n_win: int, n_total: int,
-                    wire16: bool):
-        key = (n_chunks, n_win, n_total, wire16)
-        fn = self._stitch_cache.get(key)
-        if fn is not None:
-            return fn
-        out_len = self.out_len
-
-        names = tuple(s for s in self.cfg.source_names
-                      if not (self._host_reconstruct_last
-                              and s == self.cfg.source_names[-1]))
-
-        def stitch(chunks):
-            full_all = []
-            for name in names:
-                y = jnp.concatenate([c[name] for c in chunks])[:n_win]
-                # Later windows win: the right-aligned final window overwrites
-                # its entire [n_total - out_len, n_total) span.
-                if n_win == 1:
-                    full = y[0]
-                else:
-                    main = y[:-1].reshape((n_win - 1) * out_len, y.shape[-1])
-                    main = main[:n_total - out_len]
-                    full = jnp.concatenate([main, y[-1]], axis=0)
-                full_all.append(full)
-            stacked = jnp.stack(full_all)  # [S, n_total, C]
-            if wire16:
-                stacked = jnp.round(jnp.clip(stacked, -1.0, 1.0) * 32767.0
-                                    ).astype(jnp.int16)
-            return stacked
-
-        jfn = jax.jit(stitch)
-
-        def wrapped(chunks):
-            return names, jfn(chunks)
-
-        self._stitch_cache[key] = wrapped
-        return wrapped
+        # Host-side stitch: no song-length-dependent device program (a device
+        # stitch would recompile per song — fatal for dataset evals on this
+        # remote compiler), and the per-chunk async copies overlap D2H with
+        # later chunks' compute. Reference overlap semantics preserved: writes
+        # in window order, the right-aligned final window overwrites its span.
+        names = list(futures[0].keys())
+        out = {}
+        for name in names:
+            buf = np.empty((n_total, self.cfg.num_channels),
+                           np.int16 if wire16 else np.float32)
+            wi = 0
+            for res in futures:
+                host = np.asarray(res[name])  # [bs, out_len, C]
+                for b in range(host.shape[0]):
+                    if wi >= n_win:
+                        break
+                    p = int(positions[wi])
+                    buf[p:p + self.out_len] = host[b]
+                    wi += 1
+            out[name] = (buf.astype(np.float32) / 32767.0) if wire16 else buf
+        return out
 
 
 def separate_file(cfg: Config, params, input_path: str,
