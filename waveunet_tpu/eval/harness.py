@@ -79,6 +79,22 @@ def separate_track(sep: Separator, cfg: Config, mix: np.ndarray, rate: int
     return out
 
 
+def _bss_eval(refs: np.ndarray, ests: np.ndarray, rate: int, win_s: float
+              ) -> Dict[str, np.ndarray]:
+    """Framewise metrics: the ``museval`` package when installed (exact parity
+    with the reference's scoring, `Evaluate.py:71`), else the built-in
+    BSS-Eval v4 implementation."""
+    try:
+        import museval.metrics as mm  # type: ignore
+
+        sdr, isr, sir, sar, _ = mm.bss_eval(
+            refs, ests, window=int(win_s * rate), hop=int(win_s * rate),
+            framewise_filters=False, bsseval_sources_version=False)
+        return {"SDR": sdr, "ISR": isr, "SIR": sir, "SAR": sar}
+    except ImportError:
+        return bss_eval_framewise(refs, ests, rate, win_s=win_s, hop_s=win_s)
+
+
 def evaluate_track(cfg: Config, name: str, mix: np.ndarray, rate: int,
                    targets: Dict[str, np.ndarray], sep: Separator,
                    results_dir: Optional[str] = None,
@@ -89,7 +105,7 @@ def evaluate_track(cfg: Config, name: str, mix: np.ndarray, rate: int,
                   if s in preds and s in targets]
     refs = np.stack([targets[s][:mix.shape[0]] for s in eval_names])
     ests = np.stack([preds[s] for s in eval_names])
-    res = bss_eval_framewise(refs, ests, rate, win_s=win_s, hop_s=win_s)
+    res = _bss_eval(refs, ests, rate, win_s)
     per_target = {s: {k: res[k][i] for k in res}
                   for i, s in enumerate(eval_names)}
     if results_dir is not None:
