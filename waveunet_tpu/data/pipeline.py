@@ -65,7 +65,10 @@ class BatchPipeline:
             while True:
                 with lock:
                     p = next(paths)
-                q.put(cache.load_song(p))
+                try:
+                    q.put(cache.load_song(p))
+                except Exception as e:  # damaged cache shard: skip, keep going
+                    print(f"WARNING: failed to load {p} ({e}); skipping")
 
         for _ in range(depth):
             threading.Thread(target=reader, daemon=True).start()

@@ -4,12 +4,15 @@ The reference separates full songs with a *serial* loop — one batch-1 ``sess.r
 per window, hop = output length (`/root/reference/Evaluate.py:82-145`). That is the
 reference's biggest inefficiency and our north-star redesign target (SURVEY.md §3.2):
 
-  * all windows of a song are framed host-side as a zero-copy strided view,
-  * swept through a **jitted, fixed-shape, batched** forward pass (one XLA program,
-    amortised dispatch), optionally **sharded across a device mesh** so windows ride
-    the data axis (window parallelism = data parallelism over time),
-  * and stitched back on host with the reference's exact overlap semantics
-    (last window right-aligned, later writes win — `Evaluate.py:125-139`).
+  * the (optionally int16-quantised) song crosses the host->device wire ONCE;
+    windows are framed on device by vmapped dynamic_slice,
+  * every chunk is swept through one **jitted, fixed-shape, batched** forward
+    (length-bucketed: no per-song recompiles), dispatched asynchronously,
+    optionally **sharded across a device mesh** so windows ride the data axis
+    (window parallelism = data parallelism over time),
+  * outputs return per-chunk with async host copies and are stitched on host
+    with the reference's exact overlap semantics (last window right-aligned,
+    later writes win — `Evaluate.py:125-139`).
 
 Semantics match `predict_track` step by step: mono downmix / channel duplication
 (`:98-102`), resample to model rate (`:104`), zero-pad short songs (`:107-111`),

@@ -108,6 +108,11 @@ def evaluate(cfg: Config, params, model_state, eval_step,
         loss = float(eval_step(params, model_state, batch))
         n += 1
         total += (loss - total) / n
+    if n == 0:
+        # No full batch available (songs shorter than the input window):
+        # returning 0 would masquerade as a perfect validation score.
+        print("WARNING: evaluation produced no batches; returning inf")
+        return float("inf")
     return total
 
 
