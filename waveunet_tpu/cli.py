@@ -214,9 +214,38 @@ def cmd_warmup(args):
     print("warmup complete; compiled programs persisted to the XLA cache")
 
 
+def cmd_convert_checkpoint(args):
+    """Convert a reference TF Saver-V2 checkpoint into an Orbax checkpoint:
+    convert-checkpoint <preset> checkpoint=<tf ckpt> output_path=<dir>."""
+    _setup_jax()
+    from waveunet_tpu.config import config_from_cli
+    from waveunet_tpu.train import checkpoint as ckpt
+
+    cfg_frags, opts = _split_args(args)
+    cfg = config_from_cli(cfg_frags)
+    if "checkpoint" not in opts:
+        print("convert-checkpoint requires checkpoint=<tf ckpt path>",
+              file=sys.stderr)
+        sys.exit(2)
+    if cfg.network == "unet":
+        from waveunet_tpu.compat.tf_checkpoint import load_tf_waveunet
+        params, model_state = load_tf_waveunet(opts["checkpoint"], cfg), {}
+    else:
+        from waveunet_tpu.compat.tf_checkpoint import load_tf_spectrogram
+        params, model_state = load_tf_spectrogram(opts["checkpoint"], cfg)
+    out_dir = opts.get("output_path", cfg.model_base_dir)
+    from waveunet_tpu.train.step import make_train_step
+    init_opt, _ = make_train_step(cfg, cfg.init_sup_sep_lr)
+    path = ckpt.save_checkpoint(out_dir, "converted", 0, {
+        "params": params, "model_state": model_state,
+        "opt_state": init_opt(params), "step": 0})
+    print(f"converted checkpoint written to {path}")
+
+
 _COMMANDS = {
     "train": cmd_train,
     "warmup": cmd_warmup,
+    "convert-checkpoint": cmd_convert_checkpoint,
     "predict": cmd_predict,
     "evaluate": cmd_evaluate,
     "prepare-data": cmd_prepare_data,

@@ -31,7 +31,7 @@ factorisation per window is shared across all estimated sources.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 from scipy.fft import irfft, rfft

@@ -21,8 +21,7 @@ context padding (`:121-122`), and end-trim (`:142-143`).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

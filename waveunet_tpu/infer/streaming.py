@@ -19,7 +19,7 @@ engine's output for the same signal (tested in tests/test_streaming.py).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
