@@ -94,3 +94,37 @@ def test_separate_file_end_to_end(tmp_path, rng):
         y, sr = load(p, sr=None, mono=False)
         assert sr == cfg.expected_sr
         assert y.shape[0] == n
+
+
+def test_spectrogram_stitching_matches_serial_loop(rng):
+    """U7 through the engine == naive serial per-window loop (mask/iSTFT path)."""
+    from waveunet_tpu.models.spectrogram_unet import (apply_spectrogram_unet,
+                                                      init_spectrogram_unet)
+
+    cfg = get_config("unet_spectrogram", num_layers=3,
+                     num_frames=768 * 15 + 1024, infer_batch=3)
+    params, state = init_spectrogram_unet(jax.random.PRNGKey(0), cfg)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    n = out_len * 3 + 123
+    audio = (0.2 * rng.standard_normal((n, 1))).astype(np.float32)
+
+    got = Separator(cfg, params, model_state=state).separate(
+        audio, cfg.expected_sr)
+
+    preds = {s: np.zeros_like(audio) for s in cfg.source_names}
+    for p0 in range(0, n, out_len):
+        if p0 + out_len > n:
+            p0 = n - out_len
+        part = audio[p0:p0 + in_len]
+        if part.shape[0] < in_len:  # same-padding net: pad==0, tail window
+            part = np.pad(part, [(0, in_len - part.shape[0]), (0, 0)])
+        out, _ = apply_spectrogram_unet(params, cfg, jnp.asarray(part[None]),
+                                        training=False, state=state)
+        for s in cfg.source_names:
+            y = np.asarray(out[s][0])
+            if y.shape[0] < out_len:
+                y = np.pad(y, [(0, out_len - y.shape[0]), (0, 0)])
+            preds[s][p0:p0 + out_len] = y
+
+    for s in cfg.source_names:
+        np.testing.assert_allclose(got[s], preds[s], atol=1e-4, err_msg=s)
