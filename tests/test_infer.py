@@ -128,3 +128,28 @@ def test_spectrogram_stitching_matches_serial_loop(rng):
 
     for s in cfg.source_names:
         np.testing.assert_allclose(got[s], preds[s], atol=1e-4, err_msg=s)
+
+
+def test_infer_num_frames_override(rng):
+    """A larger inference window still produces valid full-length output (not
+    bit-identical to the training-window sweep — decimation phases differ —
+    but the same shape/energy scale) and in/out lengths follow get_padding."""
+    cfg = get_config("baseline_context", num_layers=3, num_frames=256)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    big = cfg.replace(infer_num_frames=1024, infer_batch=2)
+    sep_small = Separator(cfg, params)
+    sep_big = Separator(big, params)
+    assert (sep_big.in_len, sep_big.out_len) == shapes.get_padding(big, 1024)
+    assert sep_big.out_len > sep_small.out_len
+
+    n = 5000
+    audio = (0.1 * rng.standard_normal((n, 1))).astype(np.float32)
+    a = sep_small.separate(audio, cfg.expected_sr)
+    b = sep_big.separate(audio, cfg.expected_sr)
+    for s in cfg.source_names:
+        assert a[s].shape == b[s].shape == (n, 1)
+        assert np.all(np.isfinite(b[s]))
+        # same model, same signal: comparable output energy
+        ra = float(np.sqrt((a[s] ** 2).mean()))
+        rb = float(np.sqrt((b[s] ** 2).mean()))
+        assert 0.2 < (rb + 1e-9) / (ra + 1e-9) < 5.0

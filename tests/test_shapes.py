@@ -76,3 +76,32 @@ def test_too_small_output_raises():
     cfg = get_config("baseline_context_smallfilter_deep")
     with pytest.raises(ValueError):
         shapes.get_padding(cfg, 1)
+
+
+def test_roundtrip_fuzz_random_architectures():
+    """get_padding's inverse walk agrees with forward simulation for random
+    (layers, filter sizes, frames) combinations, not just the presets."""
+    import numpy as np
+    rng = np.random.default_rng(1234)
+    checked = 0
+    for _ in range(60):
+        cfg = get_config(
+            "baseline_context",
+            num_layers=int(rng.integers(2, 13)),
+            filter_size=int(rng.integers(2, 22)),
+            merge_filter_size=int(rng.integers(1, 12)),
+            output_filter_size=int(rng.integers(1, 6)),
+        )
+        frames = int(rng.integers(64, 50000))
+        try:
+            inp, out = shapes.get_padding(cfg, frames)
+        except ValueError:
+            continue  # architecture can't produce this output size
+        # NB: `out >= frames` is NOT an invariant of the reference math — for
+        # even merge filters the ceil'd backward walk can land slightly below
+        # the desired frames (e.g. L=2, merge=10, 1718 -> 1715). num_frames is
+        # documented as "DESIRED" (`Config.py:27`); the binding contract is
+        # only that the forward pass reproduces get_padding's output length.
+        assert shapes.forward_output_len(cfg, inp) == out
+        checked += 1
+    assert checked > 40  # the vast majority of draws must be valid

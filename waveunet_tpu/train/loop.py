@@ -125,6 +125,11 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
         experiment_id = str(np.random.randint(0, 1_000_000))
     in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
     logger = MetricLogger(cfg.log_dir, experiment_id)
+    # Capture the exact run configuration (sacred's role in the reference,
+    # `Training.py:17-22`): reproducibility record next to the metrics.
+    import os
+    with open(os.path.join(logger.dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
 
     state = init_state(cfg)
     print(f"Sep_Vars: {num_params(state.params)}")
