@@ -119,25 +119,73 @@ def evaluate_track(cfg: Config, name: str, mix: np.ndarray, rate: int,
     return per_target
 
 
+def _score_and_write(cfg, name, mix_len, rate, targets, preds, results_dir,
+                     estimates_dir, win_s):
+    eval_names = [s for s in _EVAL_TARGETS[cfg.task]
+                  if s in preds and s in targets]
+    refs = np.stack([targets[s][:mix_len] for s in eval_names])
+    ests = np.stack([preds[s] for s in eval_names])
+    res = _bss_eval(refs, ests, rate, win_s)
+    per_target = {s: {k: res[k][i] for k in res}
+                  for i, s in enumerate(eval_names)}
+    if results_dir is not None:
+        write_track_json(os.path.join(results_dir, f"{name}.json"), name,
+                         per_target, win=win_s, hop=win_s)
+    if estimates_dir is not None:
+        d = os.path.join(estimates_dir, name)
+        os.makedirs(d, exist_ok=True)
+        for s, est in preds.items():
+            write_wav(os.path.join(d, f"{s}.wav"), est, rate)
+    med = {s: float(np.nanmedian(m["SDR"])) for s, m in per_target.items()}
+    print(f"  {name} median SDR: {med}")
+    return per_target
+
+
 def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
                    subset: str = "test", output_path: str = "estimates",
                    max_tracks: Optional[int] = None, win_s: float = 1.0):
-    """Full-dataset evaluation; prints the aggregate table at the end."""
+    """Full-dataset evaluation; prints the aggregate table at the end.
+
+    Pipelined: while the (CPU-heavy) BSS-Eval scoring of track i runs in a
+    worker thread, the TPU already separates track i+1 — scoring cost hides
+    the device work entirely (the reference rebuilt a TF graph per track and
+    did everything serially, `Evaluate.py:41-57,156-159`).
+    """
+    import queue
+    import threading
+
     sep = Separator(cfg, params, model_state=model_state, mesh=mesh)
     results_dir = os.path.join(output_path, subset)
     os.makedirs(results_dir, exist_ok=True)
+
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+    errors = []
+
+    def scorer():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            try:
+                _score_and_write(cfg, *item)
+            except Exception as e:  # surface at the end, keep scoring
+                errors.append((item[0], e))
+
+    worker = threading.Thread(target=scorer, daemon=True)
+    worker.start()
     count = 0
     for name, mix, rate, targets in iter_tracks(cfg.musdb_path, subset):
-        print(f"Evaluating {name}...")
-        per_target = evaluate_track(cfg, name, mix, rate, targets, sep,
-                                    results_dir=results_dir,
-                                    estimates_dir=output_path, win_s=win_s)
-        med = {s: float(np.nanmedian(m["SDR"]))
-               for s, m in per_target.items()}
-        print(f"  median SDR: {med}")
+        print(f"Separating {name}...")
+        preds = separate_track(sep, cfg, mix, rate)
+        q.put((name, mix.shape[0], rate, targets, preds, results_dir,
+               output_path, win_s))
         count += 1
         if max_tracks is not None and count >= max_tracks:
             break
+    q.put(None)
+    worker.join()
+    for name, e in errors:
+        print(f"WARNING: scoring failed for {name}: {e}")
 
     stats = compute_mean_metrics(results_dir)
     for i, (median, mad, mean, sd) in enumerate(stats):
