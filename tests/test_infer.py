@@ -153,3 +153,21 @@ def test_infer_num_frames_override(rng):
         ra = float(np.sqrt((a[s] ** 2).mean()))
         rb = float(np.sqrt((b[s] ** 2).mean()))
         assert 0.2 < (rb + 1e-9) / (ra + 1e-9) < 5.0
+
+
+def test_bundled_reference_wav_end_to_end(tmp_path, bundled_wav):
+    """Separate the WAV that ships with the reference repo (SURVEY.md §4's
+    suggested fixture): full file -> per-source WAVs, correct length/sr."""
+    from waveunet_tpu.data.audio_io import load
+    from waveunet_tpu.infer.engine import separate_file
+
+    cfg = get_config("baseline", num_layers=4, num_frames=4096)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    written = separate_file(cfg, params, bundled_wav,
+                            output_path=str(tmp_path))
+    mix, sr = load(bundled_wav, sr=None, mono=False)
+    assert sr == cfg.expected_sr == 22050
+    for name, p in written.items():
+        y, ysr = load(p, sr=None, mono=False)
+        assert ysr == sr and y.shape == mix.shape
+        assert np.all(np.abs(y) <= 1.0)

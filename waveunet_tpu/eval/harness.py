@@ -100,23 +100,10 @@ def evaluate_track(cfg: Config, name: str, mix: np.ndarray, rate: int,
                    results_dir: Optional[str] = None,
                    estimates_dir: Optional[str] = None,
                    win_s: float = 1.0) -> Dict[str, Dict[str, np.ndarray]]:
+    """Separate + score one track synchronously (single-track convenience)."""
     preds = separate_track(sep, cfg, mix, rate)
-    eval_names = [s for s in _EVAL_TARGETS[cfg.task]
-                  if s in preds and s in targets]
-    refs = np.stack([targets[s][:mix.shape[0]] for s in eval_names])
-    ests = np.stack([preds[s] for s in eval_names])
-    res = _bss_eval(refs, ests, rate, win_s)
-    per_target = {s: {k: res[k][i] for k in res}
-                  for i, s in enumerate(eval_names)}
-    if results_dir is not None:
-        write_track_json(os.path.join(results_dir, f"{name}.json"), name,
-                         per_target, win=win_s, hop=win_s)
-    if estimates_dir is not None:
-        d = os.path.join(estimates_dir, name)
-        os.makedirs(d, exist_ok=True)
-        for s, est in preds.items():
-            write_wav(os.path.join(d, f"{s}.wav"), est, rate)
-    return per_target
+    return _score_and_write(cfg, name, mix.shape[0], rate, targets, preds,
+                            results_dir, estimates_dir, win_s)
 
 
 def _score_and_write(cfg, name, mix_len, rate, targets, preds, results_dir,
