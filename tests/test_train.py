@@ -39,22 +39,26 @@ def test_loss_is_mean_mse_over_sources(rng):
     np.testing.assert_allclose(float(loss), want, rtol=1e-6)
 
 
-def test_overfit_tiny(rng):
-    """A few Adam steps on one fixed batch must reduce the loss sharply."""
+def test_overfit_tiny():
+    """A few Adam steps on one fixed batch must reduce the loss sharply.
+
+    Uses a private rng: the shared session fixture's stream shifts whenever
+    tests are added, which made this threshold assertion order-dependent.
+    """
     cfg = get_config("baseline", num_layers=2, num_frames=128,
                      num_initial_filters=8)
     params = init_waveunet(jax.random.PRNGKey(0), cfg)
     init_opt, step = make_train_step(cfg, 1e-3)
     opt_state = init_opt(params)
-    batch = _batch(cfg, rng, n=4)
+    batch = _batch(cfg, np.random.default_rng(42), n=4)
     rng_key = jax.random.PRNGKey(0)
     losses = []
     state = {}
-    for i in range(60):
+    for i in range(100):
         params, state, opt_state, loss = step(params, state, opt_state, batch,
                                               rng_key)
         losses.append(float(loss))
-    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+    assert losses[-1] < 0.3 * losses[0], (losses[0], losses[-1])
 
 
 def test_eval_step_matches_loss(rng):
