@@ -37,7 +37,7 @@ def _setup_jax():
 def _split_args(args: List[str]) -> Tuple[List[str], Dict[str, str]]:
     """Split CLI fragments into config fragments and CLI-local options."""
     cli_keys = {"input_path", "output_path", "checkpoint", "subset",
-                "experiment_id", "max_epochs"}
+                "experiment_id", "max_epochs", "win_s", "max_tracks"}
     cfg_frags, opts = [], {}
     for a in args:
         if "=" in a:
@@ -146,7 +146,10 @@ def cmd_evaluate(args):
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
                    subset=opts.get("subset", "test"),
-                   output_path=opts.get("output_path", cfg.estimates_path))
+                   output_path=opts.get("output_path", cfg.estimates_path),
+                   max_tracks=(int(opts["max_tracks"])
+                               if "max_tracks" in opts else None),
+                   win_s=float(opts.get("win_s", 1.0)))
 
 
 def cmd_prepare_data(args):

@@ -106,9 +106,12 @@ def _decode_via_ffmpeg(path: str) -> Tuple[np.ndarray, int]:
     if _FFMPEG is None:
         raise RuntimeError(
             f"cannot decode {path!r}: not a WAV and ffmpeg is unavailable")
+    # The reference documents ffmpeg hangs during MUSDB conversion with
+    # "regenerate" as the remedy (`/root/reference/README.md:137`); a timeout
+    # turns the hang into a skippable per-file error.
     probe = subprocess.run(
         [_FFMPEG, "-i", path, "-f", "f32le", "-acodec", "pcm_f32le", "-"],
-        capture_output=True, check=True)
+        capture_output=True, check=True, timeout=600)
     # Parse sample rate + channels from stderr metadata.
     sr, n_ch = 44100, 2
     for line in probe.stderr.decode("utf-8", "ignore").splitlines():
