@@ -79,3 +79,18 @@ def test_prepare_train_predict_workflow(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "out" / "mix.wav_vocals.wav").exists()
     assert (tmp_path / "out" / "mix.wav_accompaniment.wav").exists()
+
+
+def test_warmup_and_profile_cmds(tmp_path):
+    """warmup + profile subcommands run end to end on a tiny config."""
+    common = ["baseline", "num_layers=2", "num_frames=256",
+              "num_initial_filters=4", "expected_sr=8192",
+              f"log_dir={tmp_path / 'logs'}"]
+    r = _run_cli(["warmup"] + common, str(tmp_path))
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "warmup complete" in r.stdout
+
+    r = _run_cli(["profile"] + common
+                 + [f"output_path={tmp_path / 'prof'}"], str(tmp_path))
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert (tmp_path / "prof").exists()
