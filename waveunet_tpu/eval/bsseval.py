@@ -46,13 +46,11 @@ def _nfft_for(n: int) -> int:
     return nfft
 
 
-def _gram(refs: np.ndarray, L: int) -> np.ndarray:
-    """Block-Toeplitz Gram matrix of L-shifted references. refs: [K, n]."""
+def _gram(RF: np.ndarray, nfft: int, L: int) -> np.ndarray:
+    """Block-Toeplitz Gram matrix of L-shifted references from their rffts."""
     from scipy.linalg import toeplitz
 
-    K, n = refs.shape
-    nfft = _nfft_for(n)
-    RF = rfft(refs, nfft, axis=1)
+    K = RF.shape[0]
     G = np.zeros((K * L, K * L))
     lags = np.arange(L)
     for i in range(K):
@@ -67,12 +65,10 @@ def _gram(refs: np.ndarray, L: int) -> np.ndarray:
     return G
 
 
-def _cross(refs: np.ndarray, est: np.ndarray, L: int) -> np.ndarray:
-    """D[(i, lag), c] = sum_t est_c[t] refs_i[t - lag]. refs [K,n], est [C,n]."""
-    K, n = refs.shape
+def _cross(RF: np.ndarray, est: np.ndarray, nfft: int, L: int) -> np.ndarray:
+    """D[(i, lag), c] = sum_t est_c[t] refs_i[t - lag]."""
+    K = RF.shape[0]
     C = est.shape[0]
-    nfft = _nfft_for(n)
-    RF = rfft(refs, nfft, axis=1)
     EF = rfft(est, nfft, axis=1)
     D = np.zeros((K * L, C))
     lags = np.arange(L)
@@ -83,15 +79,12 @@ def _cross(refs: np.ndarray, est: np.ndarray, L: int) -> np.ndarray:
     return D
 
 
-def _project(refs: np.ndarray, coeffs: np.ndarray, n_out: int) -> np.ndarray:
+def _project(RF: np.ndarray, coeffs: np.ndarray, nfft: int, n_out: int
+             ) -> np.ndarray:
     """Apply per-reference L-tap filters and sum: returns [C, n_out]."""
-    K, n = refs.shape
+    K = RF.shape[0]
     L = coeffs.shape[0] // K
     C = coeffs.shape[1]
-    nfft = 1
-    while nfft < 2 * n:
-        nfft *= 2
-    RF = rfft(refs, nfft, axis=1)
     out = np.zeros((C, n_out))
     for i in range(K):
         HF = rfft(coeffs[i * L:(i + 1) * L, :].T, nfft, axis=1)  # [C, nfft]
@@ -100,26 +93,32 @@ def _project(refs: np.ndarray, coeffs: np.ndarray, n_out: int) -> np.ndarray:
     return out
 
 
-def _safe_solve(G: np.ndarray, D: np.ndarray) -> np.ndarray:
-    try:
-        return np.linalg.solve(G, D)
-    except np.linalg.LinAlgError:
-        return np.linalg.lstsq(G, D, rcond=None)[0]
-
-
 class _GramSolver:
-    """LU-factorise the all-sources Gram once per window; every estimated
-    source reuses the factorisation (the Gram is estimate-independent)."""
+    """Factorise the all-sources Gram once per window; every estimated source
+    reuses the factorisation (the Gram is estimate-independent). The Gram is
+    symmetric PSD, so Cholesky is used first (2x faster than LU and stable for
+    SPD), falling back to LU and finally to a minimum-norm lstsq for singular
+    Grams (silent sources)."""
 
     def __init__(self, G: np.ndarray):
-        from scipy.linalg import lu_factor
+        from scipy.linalg import cho_factor, lu_factor
         self._G = G
+        self._cho = None
+        self._lu = None
         try:
-            self._lu = lu_factor(G, check_finite=False)
+            self._cho = cho_factor(G, check_finite=False)
         except Exception:
-            self._lu = None
+            try:
+                self._lu = lu_factor(G, check_finite=False)
+            except Exception:
+                pass
 
     def solve(self, D: np.ndarray) -> np.ndarray:
+        if self._cho is not None:
+            from scipy.linalg import cho_solve
+            out = cho_solve(self._cho, D, check_finite=False)
+            if np.all(np.isfinite(out)):
+                return out
         if self._lu is not None:
             from scipy.linalg import lu_solve
             out = lu_solve(self._lu, D, check_finite=False)
@@ -158,23 +157,28 @@ def bss_eval_window(references: np.ndarray, estimates: np.ndarray,
     if not np.any(ref_energy > 0):
         return {"SDR": sdr, "ISR": isr, "SIR": sir, "SAR": sar}
 
-    G_all = _gram(refs_flat, L)  # one Gram per window, shared by all sources
+    # Reference rffts computed once per window and shared by the Gram, every
+    # cross-correlation, and every projection.
+    nfft = _nfft_for(n)
+    RF = rfft(refs_flat, nfft, axis=1)
+    G_all = _gram(RF, nfft, L)  # one Gram per window, shared by all sources
     solver = _GramSolver(G_all)
+    sub_solvers = {}
     for j in range(S):
         if ref_energy[j] == 0:
             continue
         est = estimates[j].T  # [C, n]
-        D_all = _cross(refs_flat, est, L)
+        D_all = _cross(RF, est, nfft, L)
         A_all = solver.solve(D_all)
-        proj_all = _project(refs_flat, A_all, n_out)
+        proj_all = _project(RF, A_all, nfft, n_out)
 
         # Sub-system for the single-source (spatial) projection.
         rows = np.concatenate([
             np.arange((j * C + c) * L, (j * C + c + 1) * L) for c in range(C)])
-        G_j = G_all[np.ix_(rows, rows)]
-        D_j = D_all[rows]
-        A_j = _safe_solve(G_j, D_j)
-        proj_j = _project(refs_flat[j * C:(j + 1) * C], A_j, n_out)
+        if j not in sub_solvers:
+            sub_solvers[j] = _GramSolver(G_all[np.ix_(rows, rows)])
+        A_j = sub_solvers[j].solve(D_all[rows])
+        proj_j = _project(RF[j * C:(j + 1) * C], A_j, nfft, n_out)
 
         s_pad = np.zeros((C, n_out))
         s_pad[:, :n] = references[j].T
