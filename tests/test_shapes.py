@@ -105,3 +105,16 @@ def test_roundtrip_fuzz_random_architectures():
         assert shapes.forward_output_len(cfg, inp) == out
         checked += 1
     assert checked > 40  # the vast majority of draws must be valid
+
+
+def test_same_padding_divisibility_validated():
+    """Same-padding (context=False) needs num_frames % 2^layers == 0 — the
+    reference asserts this at graph build (`UnetAudioSeparator.py:121`); we
+    surface it as an upfront config error."""
+    cfg = get_config("baseline", num_layers=4)
+    with pytest.raises(ValueError, match="divisible"):
+        shapes.get_padding(cfg, 921)
+    assert shapes.get_padding(cfg, 928) == (928, 928)
+    # spectrogram configs pass through untouched
+    u7 = get_config("unet_spectrogram")
+    assert shapes.get_padding(u7, u7.num_frames)[0] == u7.num_frames

@@ -47,6 +47,15 @@ def get_padding(cfg: Config, num_frames: int) -> Tuple[int, int]:
     `UnetAudioSeparator.py:41-81` does.
     """
     if not cfg.context:
+        # Same-padding mode needs every level's length to halve evenly, or the
+        # x2 upsample cannot re-match its skip connection (the reference
+        # asserts exactly this at graph-build time,
+        # `UnetAudioSeparator.py:121`; its default 16384 = 2^14 always works).
+        if cfg.network == "unet" and num_frames % (1 << cfg.num_layers) != 0:
+            raise ValueError(
+                f"num_frames={num_frames} must be divisible by "
+                f"2^num_layers={1 << cfg.num_layers} for same-padding "
+                f"(context=False) models")
         return num_frames, num_frames
 
     # Walk output -> bottleneck (`:43-54`). Uses float math + ceil like the
