@@ -169,3 +169,36 @@ def test_spectrogram_figure(tmp_path, bundled_wav):
     from waveunet_tpu.eval.plot import draw_spectrogram
     out = draw_spectrogram(bundled_wav, str(tmp_path / "spec.png"))
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_harness_resume_skips_scored_tracks(tmp_path, rng, capsys):
+    """Re-running evaluate_musdb skips tracks whose JSON already exists."""
+    import jax
+
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.data.audio_io import write_wav
+    from waveunet_tpu.eval.harness import evaluate_musdb
+    from waveunet_tpu.models.waveunet import init_waveunet
+
+    sr = 8192
+    n = sr * 2
+    cfg = get_config("baseline", num_layers=3, num_frames=1024,
+                     expected_sr=sr, musdb_path=str(tmp_path / "db"))
+    d = tmp_path / "db" / "test" / "songR"
+    d.mkdir(parents=True)
+    t = np.arange(n) / sr
+    v = (0.3 * np.sin(2 * np.pi * 440 * t))[:, None].astype(np.float32)
+    a = (0.3 * np.sin(2 * np.pi * 220 * t))[:, None].astype(np.float32)
+    write_wav(str(d / "vocals.wav"), v, sr)
+    write_wav(str(d / "accompaniment.wav"), a, sr)
+    write_wav(str(d / "mixture.wav"), v + a, sr)
+
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    evaluate_musdb(cfg, params, subset="test",
+                   output_path=str(tmp_path / "est"), max_tracks=1)
+    capsys.readouterr()
+    stats = evaluate_musdb(cfg, params, subset="test",
+                           output_path=str(tmp_path / "est"), max_tracks=1)
+    out = capsys.readouterr().out
+    assert "Skipping songR" in out
+    assert len(stats) == 2  # aggregation still sees the existing JSON

@@ -162,6 +162,15 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
     worker.start()
     count = 0
     for name, mix, rate, targets in iter_tracks(cfg.musdb_path, subset):
+        # Idempotent resume: a full-dataset eval takes hours (scoring-bound);
+        # already-scored tracks are skipped like the reference's idempotent
+        # ingest (`Datasets.py:233-245`). Delete the JSON to re-evaluate.
+        if os.path.exists(os.path.join(results_dir, f"{name}.json")):
+            print(f"Skipping {name} (already evaluated)")
+            count += 1
+            if max_tracks is not None and count >= max_tracks:
+                break
+            continue
         print(f"Separating {name}...")
         preds = separate_track(sep, cfg, mix, rate)
         q.put((name, mix.shape[0], rate, targets, preds, results_dir,
