@@ -14,6 +14,7 @@ Pure-Python control flow around jitted steps, mirroring the reference driver:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Any, Dict, Iterator, Optional, Tuple
@@ -127,7 +128,6 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
     logger = MetricLogger(cfg.log_dir, experiment_id)
     # Capture the exact run configuration (sacred's role in the reference,
     # `Training.py:17-22`): reproducibility record next to the metrics.
-    import os
     with open(os.path.join(logger.dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
@@ -176,6 +176,11 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
             if curr < best_loss:
                 print(f"Validation improved {best_loss} -> {curr}")
                 best_loss, best_path, worse = curr, path, 0
+                # marker for CLI/users: which checkpoint is the current best
+                with open(os.path.join(cfg.model_base_dir,
+                                       str(experiment_id), "best.txt"),
+                          "w") as f:
+                    f.write(path + "\n")
             else:
                 worse += 1
                 print(f"Validation worsened to {curr}")
