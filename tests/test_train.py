@@ -1,6 +1,7 @@
 """Training tests: loss math, overfit smoke, checkpoint round-trip, resume."""
 
 import numpy as np
+import os
 import jax
 import jax.numpy as jnp
 import pytest
@@ -130,3 +131,21 @@ def test_remat_matches_plain_grads(rng):
         np.testing.assert_allclose(np.asarray(g0[k]["kernel"]),
                                    np.asarray(g1[k]["kernel"]),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_checkpoint_retention(tmp_path):
+    from waveunet_tpu.train.checkpoint import (latest_checkpoint,
+                                               prune_checkpoints,
+                                               save_checkpoint)
+
+    base = str(tmp_path / "ck")
+    paths = [save_checkpoint(base, "e", s, {"step": s}) for s in range(5)]
+    # keep=0: no pruning (reference parity)
+    prune_checkpoints(base, "e", 0)
+    assert len(os.listdir(tmp_path / "ck" / "e")) == 5
+    # keep 2 newest, protect an old one (the "best" model)
+    prune_checkpoints(base, "e", 2, protect=(paths[1],))
+    left = sorted(os.listdir(tmp_path / "ck" / "e"))
+    assert len(left) == 3
+    assert os.path.basename(paths[1]) in left
+    assert latest_checkpoint(base, "e") == paths[4]

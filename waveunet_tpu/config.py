@@ -82,6 +82,9 @@ class Config:
     # host pipeline when the bank exceeds the budget below.
     device_data: bool = True
     device_data_max_bytes: int = 8 * 1024 ** 3
+    # How many per-epoch checkpoints to retain (0 = all, like the reference's
+    # Saver; the best-validation checkpoint is always kept).
+    keep_checkpoints: int = 0
     use_pallas: bool = False  # use hand-written Pallas kernels for hot ops
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)

@@ -39,6 +39,27 @@ def restore_checkpoint(path: str, like: Optional[Any] = None):
     return _ckptr().restore(path)
 
 
+def prune_checkpoints(base_dir: str, experiment_id: str, keep: int,
+                      protect=()) -> None:
+    """Keep only the newest ``keep`` step checkpoints (0 = keep all, the
+    reference's behavior); paths in ``protect`` (e.g. the best model) are
+    never removed."""
+    if keep <= 0:
+        return
+    import shutil
+
+    d = os.path.join(base_dir, str(experiment_id))
+    if not os.path.isdir(d):
+        return
+    protected = {os.path.abspath(p) for p in protect if p}
+    steps = sorted(f for f in os.listdir(d) if f.startswith("step_"))
+    for f in steps[:-keep]:
+        path = os.path.abspath(os.path.join(d, f))
+        if path in protected:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def latest_checkpoint(base_dir: str, experiment_id: str) -> Optional[str]:
     d = os.path.join(base_dir, str(experiment_id))
     if not os.path.isdir(d):

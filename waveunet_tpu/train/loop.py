@@ -166,6 +166,9 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
                                                 logger)
             path = ckpt.save_checkpoint(cfg.model_base_dir, experiment_id,
                                         state.step, state.as_pytree())
+            ckpt.prune_checkpoints(cfg.model_base_dir, experiment_id,
+                                   cfg.keep_checkpoints,
+                                   protect=(best_path, path))
             valid_pipe = BatchPipeline(rcfg, "valid", in_len, out_len,
                                        seed=rcfg.seed)
             curr = evaluate(rcfg, state.params, state.model_state, eval_step,
