@@ -62,7 +62,7 @@ def main():
     # (the host<->device tunnel in this environment has ±30-50% contention
     # noise; best-of-N isolates the engine from the shared link).
     sep.separate(song, sr)
-    elapsed = min(_timed(sep, song, sr) for _ in range(4))
+    elapsed = min(_timed(sep, song, sr) for _ in range(6))
     rtf = seconds / elapsed
 
     # Reference-style serial baseline: batch-1 jitted forward, one dispatch per
