@@ -118,3 +118,11 @@ def test_same_padding_divisibility_validated():
     # spectrogram configs pass through untouched
     u7 = get_config("unet_spectrogram")
     assert shapes.get_padding(u7, u7.num_frames)[0] == u7.num_frames
+
+
+def test_spectrogram_frame_divisibility_validated():
+    u7 = get_config("unet_spectrogram")  # 6 layers, 128 frames: valid
+    assert shapes.get_padding(u7, u7.num_frames) == (u7.num_frames,
+                                                     u7.num_frames)
+    with pytest.raises(ValueError, match="STFT frames"):
+        shapes.get_padding(u7, 768 * 100 + 1024)  # 101 frames, not /64

@@ -56,6 +56,19 @@ def get_padding(cfg: Config, num_frames: int) -> Tuple[int, int]:
                 f"num_frames={num_frames} must be divisible by "
                 f"2^num_layers={1 << cfg.num_layers} for same-padding "
                 f"(context=False) models")
+        if cfg.network == "unet_spectrogram":
+            # The 2-D U-Net halves (time_frames, 512 freqs) per layer; both
+            # must divide cleanly (`UnetSpectrogramSeparator.py:69`'s assert).
+            from waveunet_tpu.ops import stft as _stft
+            f = _stft.num_frames(num_frames)
+            if f < (1 << cfg.num_layers) or f % (1 << cfg.num_layers) != 0:
+                raise ValueError(
+                    f"num_frames={num_frames} gives {f} STFT frames, which "
+                    f"must be a positive multiple of 2^num_layers="
+                    f"{1 << cfg.num_layers} (use hop*(k*2^L - 1) + 1024)")
+            if 512 % (1 << cfg.num_layers) != 0:
+                raise ValueError("spectrogram net supports at most 9 layers "
+                                 "(512 frequency bins must halve cleanly)")
         return num_frames, num_frames
 
     # Walk output -> bottleneck (`:43-54`). Uses float math + ceil like the
