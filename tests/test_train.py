@@ -149,3 +149,76 @@ def test_checkpoint_retention(tmp_path):
     assert len(left) == 3
     assert os.path.basename(paths[1]) in left
     assert latest_checkpoint(base, "e") == paths[4]
+
+
+def test_adam_slots_carry_across_round_boundary():
+    """Round 2 (doubled batch, lr 1e-5) continues from round-1 Adam slots —
+    the reference restores ALL variables, incl. Adam moments and beta-power
+    accumulators, when it rebuilds the graph for the fine-tune round
+    (`Training.py:92-96,131-137`). The same opt_state pytree must thread
+    straight into a step_fn built at the new lr."""
+    import optax
+
+    cfg = get_config("baseline", num_layers=2, num_frames=128,
+                     num_initial_filters=8)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    init_opt, step1 = make_train_step(cfg, 1e-4)
+    opt_state = init_opt(params)
+    batch = _batch(cfg, np.random.default_rng(7), n=2)
+    key = jax.random.PRNGKey(0)
+    mstate = {}
+    for _ in range(3):
+        params, mstate, opt_state, _ = step1(params, mstate, opt_state,
+                                             batch, key)
+
+    adam = next(s for s in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+        if isinstance(x := s, optax.ScaleByAdamState))
+    assert int(adam.count) == 3
+    mu_before = jax.tree_util.tree_map(np.asarray, adam.mu)
+
+    # round boundary: new step_fn at the fine-tune lr consumes the SAME state
+    _, step2 = make_train_step(
+        cfg.replace(batch_size=cfg.batch_size * 2, init_sup_sep_lr=1e-5), 1e-5)
+    params, mstate, opt_state, loss = step2(params, mstate, opt_state,
+                                            batch, key)
+    adam2 = next(s for s in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState))
+    # count continued (4), moments evolved from the carried values, not zeros
+    assert int(adam2.count) == 4
+    mu_after = jax.tree_util.tree_map(np.asarray, adam2.mu)
+    l0 = jax.tree_util.tree_leaves(mu_before)[0]
+    l1 = jax.tree_util.tree_leaves(mu_after)[0]
+    assert np.any(l0 != 0) and not np.allclose(l0, l1)
+    assert np.isfinite(float(loss))
+
+
+def test_optimise_preserves_opt_state_across_rounds(tmp_path, monkeypatch):
+    """Wiring check: loop.optimise must never re-initialise optimiser slots
+    after init_state/restore (round boundaries included)."""
+    from waveunet_tpu.train import loop as loop_mod
+
+    calls = {"init": 0}
+    real = loop_mod.make_train_step
+
+    def counting(cfg, lr, mesh=None):
+        init_opt, step = real(cfg, lr, mesh=mesh)
+
+        def counted_init(p):
+            calls["init"] += 1
+            return init_opt(p)
+        return counted_init, step
+
+    monkeypatch.setattr(loop_mod, "make_train_step", counting)
+    from tests.test_integration import _make_cache
+    cfg = get_config("baseline", num_layers=2, num_frames=256,
+                     num_initial_filters=4, batch_size=2, epoch_it=2,
+                     num_snippets_per_track=4, cache_size=8, worse_epochs=1,
+                     data_path=str(tmp_path / "cache"),
+                     model_base_dir=str(tmp_path / "ckpt"),
+                     log_dir=str(tmp_path / "logs"))
+    _make_cache(tmp_path, cfg)
+    loop_mod.optimise(cfg, experiment_id="slots", max_epochs_per_round=1)
+    # exactly one init: the one inside init_state()
+    assert calls["init"] == 1

@@ -37,7 +37,8 @@ def _setup_jax():
 def _split_args(args: List[str]) -> Tuple[List[str], Dict[str, str]]:
     """Split CLI fragments into config fragments and CLI-local options."""
     cli_keys = {"input_path", "output_path", "checkpoint", "subset",
-                "experiment_id", "max_epochs", "win_s", "max_tracks"}
+                "experiment_id", "max_epochs", "win_s", "max_tracks",
+                "final_eval"}
     cfg_frags, opts = [], {}
     for a in args:
         if "=" in a:
@@ -91,6 +92,14 @@ def cmd_train(args):
                                mesh=mesh, resume_path=resume,
                                max_epochs_per_round=max_ep)
     print(f"Best model: {path}; test loss {test_loss}")
+    # Terminal full-dataset SDR eval with the best model — the reference's run()
+    # ends by producing MUSDB source estimates (`Training.py:161-166`). Opt-in
+    # here (final_eval=1) since a full BSS-Eval pass can dominate wall-clock.
+    if opts.get("final_eval", "0").lower() in ("1", "true", "musdb") and path:
+        from waveunet_tpu.eval.harness import evaluate_musdb
+        params, model_state = _load_params(cfg, path)
+        evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
+                       subset="test", output_path=cfg.estimates_path)
 
 
 def _load_params(cfg, checkpoint):

@@ -6,15 +6,23 @@ runs the same context-padded windowed inference incrementally:
 
   * incoming samples accumulate in a ring buffer seeded with (in-out)/2 zeros
     of leading context (the offline engine's left pad);
-  * whenever a full analysis window is available it is swept through the same
-    jitted forward the offline engine uses, emitting ``out_len`` new samples
-    per window (algorithmic latency = out_len + context);
+  * whenever full analysis windows are available, up to ``batch_windows`` of
+    them are swept through ONE jitted batched forward (batch sizes bucketed to
+    powers of two so at most log2(batch_windows)+1 shapes ever compile),
+    emitting ``out_len`` new samples per window (algorithmic latency =
+    out_len + context, independent of batching);
   * ``flush()`` zero-pads the tail to emit the remainder (the only place the
     stream can differ from offline separation, which right-aligns its final
     window into real future context).
 
-Bit-compatibility: every fully-contexted output sample equals the offline
-engine's output for the same signal (tested in tests/test_streaming.py).
+Serving throughput: the serial batch-1 dispatch pattern this replaces is
+exactly the reference's per-window ``sess.run`` loop
+(`Evaluate.py:125-139`); batching keeps the MXU busy across windows the same
+way the offline engine does.
+
+Parity: every fully-contexted output sample matches the offline engine's
+output for the same signal, and batched draining matches serial draining to
+fp32 conv-tiling tolerance (tested in tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -84,23 +92,48 @@ class StreamingSeparator:
         return {s: np.zeros((0, self.cfg.num_channels), np.float32)
                 for s in self.cfg.source_names}
 
+    @staticmethod
+    def _bucket(k: int) -> int:
+        b = 1
+        while b < k:
+            b *= 2
+        return b
+
     def _drain(self, final: bool) -> Dict[str, np.ndarray]:
         outs = {s: [] for s in self.cfg.source_names}
         target = self._pushed if final else None
         while True:
-            if self._buf.shape[0] < self.in_len:
-                break
             if target is not None and self._emitted >= target:
                 break
-            window = self._buf[:self.in_len][None]
-            res = self._fwd(self.params, jnp.asarray(window))
-            take = self.out_len
+            # number of complete windows sitting in the buffer
+            avail = 0
+            if self._buf.shape[0] >= self.in_len:
+                avail = (self._buf.shape[0] - self.in_len) // self.out_len + 1
             if target is not None:
-                take = min(take, target - self._emitted)
-            for s in self.cfg.source_names:
-                outs[s].append(np.asarray(res[s][0, :take]))
-            self._emitted += take
-            self._buf = self._buf[self.out_len:]
+                need = -(-(target - self._emitted) // self.out_len)
+                avail = min(avail, need)
+            if avail <= 0:
+                break
+            k = min(avail, self.batch)
+            windows = np.stack([
+                self._buf[i * self.out_len:i * self.out_len + self.in_len]
+                for i in range(k)])
+            b = self._bucket(k)
+            if b > k:  # pad to the bucket shape; padded rows are discarded
+                windows = np.concatenate(
+                    [windows, np.zeros((b - k,) + windows.shape[1:],
+                                       np.float32)])
+            res = self._fwd(self.params, jnp.asarray(windows))
+            for i in range(k):
+                take = self.out_len
+                if target is not None:
+                    take = min(take, target - self._emitted)
+                if take <= 0:
+                    break
+                for s in self.cfg.source_names:
+                    outs[s].append(np.asarray(res[s][i, :take]))
+                self._emitted += take
+            self._buf = self._buf[k * self.out_len:]
         if not outs[self.cfg.source_names[0]]:
             return self._empty()
         return {s: np.concatenate(v) for s, v in outs.items()}

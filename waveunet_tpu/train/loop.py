@@ -146,12 +146,15 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
     for rnd, rcfg in enumerate(round_cfgs):
         if rnd == 1:
             print("Finished first round of training, entering fine-tuning stage")
-        init_opt, step_fn = make_train_step(rcfg, rcfg.init_sup_sep_lr, mesh=mesh)
+        _, step_fn = make_train_step(rcfg, rcfg.init_sup_sep_lr, mesh=mesh)
         eval_step = make_eval_step(rcfg, mesh=mesh)
-        # Fresh optimiser slots per round (the reference rebuilds the Adam graph
-        # with the new lr each round, `Training.py:131-137`).
-        state = TrainState(state.params, state.model_state,
-                           init_opt(state.params), state.step)
+        # Adam slots (moments + bias-correction count) carry across the round
+        # boundary AND across resume: the reference restores ALL variables —
+        # including Adam m/v and beta-power accumulators — from the previous
+        # epoch's checkpoint every time it rebuilds the graph
+        # (`Training.py:92-96,131-137`); only the lr constant changes in
+        # round 2. optax.adam state layout is lr-independent, so the same
+        # opt_state threads straight into the new step_fn.
 
         train_it = make_train_iterator(rcfg, in_len, out_len, seed_offset=rnd)
 
