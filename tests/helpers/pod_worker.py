@@ -1,0 +1,74 @@
+"""Worker process for the 2-process multi-host test (tests/test_parallel.py).
+
+Each invocation is one "host" of a 2-host CPU pod: it initialises
+``jax.distributed`` (gloo CPU collectives), builds its per-host pipeline shard
+via :func:`waveunet_tpu.parallel.distributed.make_pod_pipeline`, assembles the
+global batch with :func:`global_batch_from_local`, and runs one sharded eval
+step over the cross-process mesh. Prints one JSON line with the results.
+
+argv: <process_id> <num_processes> <port> <overrides_json>
+"""
+
+import json
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+# The axon plugin ignores JAX_PLATFORMS env; only the config call sticks.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    overrides = json.loads(sys.argv[4])
+    preset = overrides.pop("preset", "baseline")
+
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.models.waveunet import init_waveunet
+    from waveunet_tpu.ops import shapes
+    from waveunet_tpu.parallel import distributed as D
+    from waveunet_tpu.parallel.mesh import make_mesh
+    from waveunet_tpu.train.step import make_eval_step
+
+    got = D.initialize(coordinator_address=f"127.0.0.1:{port}",
+                       num_processes=nproc, process_id=pid)
+    assert got == pid, (got, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+
+    cfg = get_config(preset, **overrides)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+
+    sl = D.local_batch_slice(cfg.batch_size)
+    pipe = D.make_pod_pipeline(cfg, "valid", in_len, out_len, seed=0)
+    local = next(pipe.eval_batches())
+
+    mesh = make_mesh()
+    glob = D.global_batch_from_local(mesh, local)
+    assert glob["mix"].shape[0] == cfg.batch_size
+
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    ev = make_eval_step(cfg, mesh=mesh)
+    loss = float(ev(params, {}, glob))
+
+    print(json.dumps({
+        "pid": pid,
+        "procs": jax.process_count(),
+        "devices": jax.device_count(),
+        "local_rows": int(local["mix"].shape[0]),
+        "slice": [sl.start, sl.stop],
+        "digest": float(np.abs(local["mix"]).sum()),
+        "loss": loss,
+    }), flush=True)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

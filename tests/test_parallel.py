@@ -1,5 +1,7 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -99,3 +101,65 @@ def test_pod_helpers_single_host(tmp_path, rng):
     glob = D.global_batch_from_local(mesh, local)
     assert glob["mix"].shape == (8, 16, 1)
     np.testing.assert_allclose(np.asarray(glob["mix"]), local["mix"])
+
+
+def test_pod_two_processes(tmp_path):
+    """REAL 2-process pod: jax.distributed over a localhost coordinator, gloo
+    CPU collectives, 2 hosts x 2 devices. Each host feeds its disjoint
+    pipeline shard; the sharded eval loss must (a) agree across hosts and
+    (b) equal the single-process loss over the concatenated host shards."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    from tests.test_integration import _make_cache
+    from waveunet_tpu.models.waveunet import init_waveunet
+    from waveunet_tpu.data.pipeline import BatchPipeline
+
+    cfg_kw = dict(preset="baseline", num_layers=2, num_frames=256,
+                  num_initial_filters=4, batch_size=4,
+                  num_snippets_per_track=4, cache_size=8,
+                  data_path=str(tmp_path / "cache"))
+    cfg = get_config(**{k: v for k, v in cfg_kw.items() if k != "preset"})
+    _make_cache(tmp_path, cfg, n_songs=4)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "helpers",
+                          "pod_worker.py")
+    env = dict(os.environ)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), json.dumps(cfg_kw)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+        results.append(json.loads(out.decode().strip().splitlines()[-1]))
+
+    by_pid = {r["pid"]: r for r in results}
+    assert set(by_pid) == {0, 1}
+    for r in results:
+        assert r["procs"] == 2 and r["devices"] == 4
+        assert r["local_rows"] == 2
+    assert by_pid[0]["slice"] == [0, 2] and by_pid[1]["slice"] == [2, 4]
+    # hosts read DISJOINT song subsets
+    assert by_pid[0]["digest"] != by_pid[1]["digest"]
+    # the jitted loss is a cross-process collective: all hosts see one value
+    assert by_pid[0]["loss"] == by_pid[1]["loss"]
+
+    # single-process oracle: concat the two host shards, eval on one device
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    halves = [next(BatchPipeline(cfg, "valid", in_len, out_len,
+                                 batch_size=2, host_id=h, num_hosts=2,
+                                 seed=0).eval_batches()) for h in (0, 1)]
+    glob = {k: np.concatenate([halves[0][k], halves[1][k]]) for k in halves[0]}
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    loss_1p = float(make_eval_step(cfg)(params, {},
+                                        {k: jnp.asarray(v)
+                                         for k, v in glob.items()}))
+    np.testing.assert_allclose(by_pid[0]["loss"], loss_1p, rtol=1e-5)
