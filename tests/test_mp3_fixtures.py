@@ -1,0 +1,99 @@
+"""End-to-end tests on the reference's bundled demo content.
+
+The reference ships 3 songs x {mix, vocals/accompaniment truth, and the
+*published* Wave-U-Net estimates} as mp3 (`/root/reference/audio_examples/`,
+produced by `Evaluate.produce_source_estimates`, `Evaluate.py:161-193`).
+With the libmpg123 decode path (data/mp3.py) this real content now runs
+through the framework offline:
+
+  * our BSS-Eval scores the SHIPPED estimates against the shipped truth —
+    the published separations must score clearly above the mix-as-estimate
+    null baseline on vocals (the metric and decoder agree with reality);
+  * the full mp3 -> engine -> WAV pipeline runs on the real mixture.
+"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from waveunet_tpu.config import get_config
+from waveunet_tpu.data import mp3
+from waveunet_tpu.data.audio_io import load
+
+_EXAMPLES = "/root/reference/audio_examples"
+_SONG = os.path.join(_EXAMPLES, "Cristina Vane - So Easy")
+
+needs_fixtures = pytest.mark.skipif(
+    not (os.path.isdir(_SONG) and mp3.available()),
+    reason="reference audio_examples or libmpg123 unavailable")
+
+
+@needs_fixtures
+def test_mp3_decode_fixtures_consistent():
+    """All five files of a song decode to the same rate/length/channels, and
+    mix ~ vocals + accompaniment (lossy-codec tolerance)."""
+    mix, sr = load(os.path.join(_SONG, "mix.mp3"), sr=None, mono=False)
+    assert sr == 44100 and mix.shape[1] == 2
+    parts = {}
+    for s in ("vocals", "accompaniment"):
+        for kind in ("true", "estimate"):
+            a, asr = load(os.path.join(_SONG, f"{s}_{kind}.mp3"),
+                          sr=None, mono=False)
+            assert asr == sr and a.shape == mix.shape, (s, kind, a.shape)
+            parts[f"{s}_{kind}"] = a
+    dev = np.abs(mix - parts["vocals_true"]
+                 - parts["accompaniment_true"]).mean()
+    assert dev < 0.02, dev  # sources encoded separately; mp3 is lossy
+
+
+@needs_fixtures
+def test_published_estimates_score_above_null_baseline():
+    """BSS-Eval (ours) on the reference's published estimates vs its truth:
+    the real separation must beat the mix-as-estimate null on vocals SDR by a
+    wide margin. Exercises decoder + metric end to end on real music."""
+    from waveunet_tpu.eval.bsseval import bss_eval_framewise
+
+    sr = 44100
+    n = 8 * sr  # 8 s excerpt: keeps the fp64 host solves quick
+    off = 10 * sr  # skip the intro (vocals silent at the very start)
+    mix, _ = load(os.path.join(_SONG, "mix.mp3"), sr=None, mono=False)
+    refs = np.stack([
+        load(os.path.join(_SONG, "vocals_true.mp3"), sr=None, mono=False)[0],
+        load(os.path.join(_SONG, "accompaniment_true.mp3"), sr=None,
+             mono=False)[0]])[:, off:off + n]
+    ests = np.stack([
+        load(os.path.join(_SONG, "vocals_estimate.mp3"), sr=None,
+             mono=False)[0],
+        load(os.path.join(_SONG, "accompaniment_estimate.mp3"), sr=None,
+             mono=False)[0]])[:, off:off + n]
+    null = np.stack([mix[off:off + n], mix[off:off + n]])
+
+    got = bss_eval_framewise(refs, ests, rate=sr)
+    got_null = bss_eval_framewise(refs, null, rate=sr)
+    sdr = np.nanmedian(got["SDR"], axis=1)
+    sdr_null = np.nanmedian(got_null["SDR"], axis=1)
+    # vocals: mix-as-estimate is dominated by accompaniment bleed
+    assert sdr[0] > sdr_null[0] + 3.0, (sdr, sdr_null)
+    assert np.all(np.isfinite(sdr)), sdr
+
+
+@needs_fixtures
+def test_full_pipeline_on_reference_mix(tmp_path):
+    """mp3 mixture -> separation engine -> per-source WAVs, fully offline."""
+    from waveunet_tpu.infer.engine import separate_file
+    from waveunet_tpu.models.waveunet import init_waveunet
+    from waveunet_tpu.data.audio_io import load as load_wav
+
+    cfg = get_config("baseline", num_layers=3, num_frames=1024,
+                     num_initial_filters=8)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    written = separate_file(cfg, params, os.path.join(_SONG, "mix.mp3"),
+                            output_path=str(tmp_path))
+    mix, sr = load(os.path.join(_SONG, "mix.mp3"), sr=None, mono=False)
+    assert set(written) == set(cfg.source_names)
+    for name, p in written.items():
+        a, asr = load_wav(p, sr=None, mono=False)
+        assert asr == sr and a.shape[0] == mix.shape[0]
+        assert np.abs(a).max() <= 1.0 + 1e-6

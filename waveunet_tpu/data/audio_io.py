@@ -147,6 +147,17 @@ def load(path: str, sr: Optional[int] = None, mono: bool = True
                 audio = np.asarray(data, np.float32)
             else:
                 raise
+    elif ext in (".mp3", ".mp2", ".mpga"):
+        # Primary mp3 path: the system libmpg123 via ctypes (data/mp3.py) —
+        # no ffmpeg in this environment; soundfile/ffmpeg remain fallbacks.
+        from waveunet_tpu.data import mp3 as _mp3
+        if _mp3.available():
+            audio, native_sr = _mp3.decode_mp3(path)
+        elif _sf is not None:
+            data, native_sr = _sf.read(path, dtype="float32", always_2d=True)
+            audio = np.asarray(data, np.float32)
+        else:
+            audio, native_sr = _decode_via_ffmpeg(path)
     elif _sf is not None:
         data, native_sr = _sf.read(path, dtype="float32", always_2d=True)
         audio = np.asarray(data, np.float32)
