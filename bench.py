@@ -44,7 +44,13 @@ def main():
     from waveunet_tpu.models.waveunet import apply_waveunet, init_waveunet
     from waveunet_tpu.ops import shapes
 
-    cfg = get_config("full_44KHz", infer_batch=16, infer_wire_dtype="int16")
+    # infer_num_frames=65536 trades the 9.0x valid-conv context overlap at the
+    # training window for 3.0x: measured compute roof 969 audio-s/s/chip and
+    # the best tunnel e2e of the swept (window, batch) grid (DESIGN.md perf
+    # table; 131072@8 roofs higher at 1035 but e2e's pipelining favours 16
+    # smaller chunks on this host link).
+    cfg = get_config("full_44KHz", infer_num_frames=65536, infer_batch=16,
+                     infer_wire_dtype="int16")
     in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
     params = init_waveunet(jax.random.PRNGKey(0), cfg)
 
@@ -58,7 +64,7 @@ def main():
     song = np.stack([song, song], axis=1)
 
     sep = Separator(cfg, params)
-    # Warm-up on the full song (compiles the same length bucket), then best-of-4
+    # Warm-up on the full song (compiles the same length bucket), then best-of-6
     # (the host<->device tunnel in this environment has ±30-50% contention
     # noise; best-of-N isolates the engine from the shared link).
     sep.separate(song, sr)
@@ -93,6 +99,8 @@ def main():
         "n_devices": jax.device_count(),
         "song_seconds": seconds,
         "elapsed_s": round(elapsed, 4),
+        "infer_num_frames": cfg.infer_num_frames,
+        "compute_roof_audio_s_per_s": 968.8,  # tools/perf_probe.py, this window
     }))
 
 

@@ -75,3 +75,29 @@ def test_model_with_pallas_flag_matches(rng):
     finally:
         cf.conv1d_lrelu_pallas = orig_conv
         ip.learned_interp_pallas = orig_interp
+
+
+def test_im2col_kernel_interpret_correct(rng):
+    """[C, L]-layout im2col conv kernel: math pinned in interpret mode.
+
+    The kernel is Mosaic-blocked on real TPU (tpu.concatenate cannot merge
+    lane-shifted operands — see KERNELS.md round-2 entry) but the formulation
+    is kept correct so a future Mosaic can pick it straight up."""
+    import jax.numpy as jnp
+    from waveunet_tpu.ops.pallas.conv1d_im2col import conv1d_lrelu_im2col
+
+    B, Cin, Cout, K, L = 2, 24, 48, 15, 1500
+    x = rng.standard_normal((B, Cin, L)).astype(np.float32)
+    w = (0.1 * rng.standard_normal((K, Cin, Cout))).astype(np.float32)
+    b = (0.1 * rng.standard_normal(Cout)).astype(np.float32)
+    y = conv1d_lrelu_im2col(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                            interpret=True)
+    xt = np.transpose(x, (0, 2, 1))
+    dn = jax.lax.conv_dimension_numbers((1, 1, 1), (1, 1, 1),
+                                        ("NWC", "WIO", "NWC"))
+    ref = jax.lax.conv_general_dilated(xt, w, (1,), "VALID",
+                                       dimension_numbers=dn) + b
+    ref = np.maximum(0.2 * np.asarray(ref), np.asarray(ref))
+    ref = np.transpose(ref, (0, 2, 1))
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-5)

@@ -1,0 +1,147 @@
+"""Real-chip performance probes: window-size compute roof, bf16, train step.
+
+Each invocation measures ONE configuration (so a crash/timeout loses nothing)
+and appends a JSON line to the output file. Timings follow the repo's bench
+discipline: whole jitted graphs only, warm-up dispatch first, best-of-N
+(the axon tunnel has +-30-50% contention noise; device-bound timings use
+block_until_ready on device-resident inputs so the tunnel is excluded).
+
+Usage:
+  python tools/perf_probe.py roof  <num_frames> <batch> <fp32|bf16> [out.jsonl]
+  python tools/perf_probe.py e2e   <num_frames> <batch> <fp32|bf16> [out.jsonl]
+  python tools/perf_probe.py train <num_frames> <batch> <fp32|bf16> [out.jsonl]
+
+The `roof` mode times the bare jitted forward (no transfers): the number the
+inference engine approaches when the host link is not the bottleneck
+(attached-TPU production). `e2e` times Separator.separate on a 60 s song
+including the tunnel. `train` times the donated-buffer train step.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    mode, frames, batch, dtype = (sys.argv[1], int(sys.argv[2]),
+                                  int(sys.argv[3]), sys.argv[4])
+    out_path = sys.argv[5] if len(sys.argv) > 5 else "/tmp/perf_probe.jsonl"
+
+    import jax
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.models.waveunet import apply_waveunet, init_waveunet
+    from waveunet_tpu.ops import shapes
+
+    compute_dtype = "bfloat16" if dtype == "bf16" else "float32"
+    cfg = get_config("full_44KHz", compute_dtype=compute_dtype)
+    in_len, out_len = shapes.get_padding(cfg, frames)
+    sr = cfg.expected_sr
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    rec = {"mode": mode, "frames": frames, "in_len": in_len,
+           "out_len": out_len, "batch": batch, "dtype": dtype,
+           "platform": jax.devices()[0].platform}
+
+    if mode == "roof":
+        fwd = jax.jit(lambda p, x: apply_waveunet(p, cfg, x, training=False))
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (batch, in_len, cfg.num_channels)).astype(np.float32))
+        x = jax.device_put(x)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fwd(params, x))
+        rec["first_call_s"] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fwd(params, x))
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        rec["forward_ms"] = round(best * 1e3, 3)
+        # pipelined: K async dispatches, one final sync — amortises the
+        # ~6-8 ms per-dispatch tunnel latency the engine also hides
+        K = 8
+        best_p = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [fwd(params, x) for _ in range(K)]
+            jax.block_until_ready(outs[-1])
+            dt = (time.perf_counter() - t0) / K
+            best_p = dt if best_p is None else min(best_p, dt)
+        rec["forward_pipelined_ms"] = round(best_p * 1e3, 3)
+        rec["audio_s_per_s"] = round(batch * out_len / sr / best_p, 1)
+        rec["context_overlap"] = round(in_len / out_len, 3)
+
+    elif mode == "e2e":
+        from waveunet_tpu.infer.engine import Separator
+        icfg = cfg.replace(infer_num_frames=frames, infer_batch=batch,
+                           infer_wire_dtype="int16")
+        sep = Separator(icfg, params)
+        seconds = 60.0
+        n = int(seconds * sr)
+        rng = np.random.default_rng(0)
+        t = np.arange(n) / sr
+        song = (0.3 * np.sin(2 * np.pi * 440 * t)
+                + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        song = np.stack([song, song], axis=1)
+        t0 = time.perf_counter()
+        sep.separate(song, sr)
+        rec["first_call_s"] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            sep.separate(song, sr)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        rec["e2e_s"] = round(best, 4)
+        rec["rtf"] = round(seconds / best, 1)
+
+    elif mode == "train":
+        from waveunet_tpu.train.step import make_train_step
+        tcfg = cfg.replace(num_frames=frames, batch_size=batch)
+        t_in, t_out = shapes.get_padding(tcfg, frames)
+        init_opt, step = make_train_step(tcfg, 1e-4)
+        opt_state = init_opt(params)
+        rng = np.random.default_rng(0)
+        batch_d = {s: jnp.asarray(rng.standard_normal(
+            (batch, t_out, tcfg.num_channels)).astype(np.float32) * 0.2)
+            for s in tcfg.source_names}
+        batch_d["mix"] = jnp.asarray(rng.standard_normal(
+            (batch, t_in, tcfg.num_channels)).astype(np.float32) * 0.2)
+        key = jax.random.PRNGKey(0)
+        mstate = {}
+
+        def run_once(p, ms, os_):
+            p, ms, os_, loss = step(p, ms, os_, batch_d, key)
+            jax.block_until_ready(loss)
+            return p, ms, os_
+
+        t0 = time.perf_counter()
+        params, mstate, opt_state = run_once(params, mstate, opt_state)
+        rec["first_call_s"] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            params, mstate, opt_state = run_once(params, mstate, opt_state)
+            times.append(time.perf_counter() - t0)
+        rec["step_ms"] = round(min(times) * 1e3, 3)
+        rec["steps_per_s"] = round(1.0 / min(times), 2)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+    with open(out_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

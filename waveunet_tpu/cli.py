@@ -38,7 +38,7 @@ def _split_args(args: List[str]) -> Tuple[List[str], Dict[str, str]]:
     """Split CLI fragments into config fragments and CLI-local options."""
     cli_keys = {"input_path", "output_path", "checkpoint", "subset",
                 "experiment_id", "max_epochs", "win_s", "max_tracks",
-                "final_eval"}
+                "final_eval", "tpu_bss"}
     cfg_frags, opts = [], {}
     for a in args:
         if "=" in a:
@@ -158,7 +158,8 @@ def cmd_evaluate(args):
                    output_path=opts.get("output_path", cfg.estimates_path),
                    max_tracks=(int(opts["max_tracks"])
                                if "max_tracks" in opts else None),
-                   win_s=float(opts.get("win_s", 1.0)))
+                   win_s=float(opts.get("win_s", 1.0)),
+                   tpu_bss=opts.get("tpu_bss", "0") in ("1", "true"))
 
 
 def cmd_prepare_data(args):

@@ -102,7 +102,10 @@ def apply_waveunet(params: Params, cfg: Config, mix: jnp.ndarray,
     use_pallas = cfg.use_pallas and cfg.context and not training
 
     def conv(x, p, width_unused=None):
-        return conv1d(x, p, padding=padding, compute_dtype=cdtype)
+        # fp32 accumulation at inference; differentiated bf16 convs must run
+        # fully in bf16 (see ops/conv.py:conv1d on the transpose-rule limit).
+        return conv1d(x, p, padding=padding, compute_dtype=cdtype,
+                      fp32_accum=not training)
 
     def conv_act(x, p):
         if use_pallas:

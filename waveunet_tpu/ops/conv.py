@@ -55,22 +55,26 @@ def conv2d_init(rng, hw: Tuple[int, int], in_ch: int, out_ch: int,
 
 
 def conv1d(x, params, *, padding: str = "VALID", stride: int = 1,
-           rhs_dilation: int = 1, compute_dtype=None):
+           rhs_dilation: int = 1, compute_dtype=None, fp32_accum: bool = True):
     """1-D convolution over [B, W, C] with a TF-layout kernel [w, in, out].
 
-    ``compute_dtype`` casts inputs/kernel (e.g. bfloat16 for the MXU) while
-    accumulating in float32 via ``preferred_element_type``.
-    """
+    ``compute_dtype`` casts inputs/kernel (e.g. bfloat16 for the MXU).
+    ``fp32_accum`` accumulates in float32 via ``preferred_element_type`` —
+    correct for inference, but its conv transpose rule rejects the fp32
+    cotangent against a bf16 kernel, so differentiated (training) calls must
+    pass ``fp32_accum=False`` (the conv then runs fully in ``compute_dtype``,
+    which is what production bf16 training does anyway)."""
     k, b = params["kernel"], params["bias"]
     in_dtype = x.dtype
+    pet = jnp.float32 if fp32_accum else None
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         k = k.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x, k, window_strides=(stride,), padding=padding,
         rhs_dilation=(rhs_dilation,), dimension_numbers=_DN_1D,
-        preferred_element_type=jnp.float32)
-    y = y + b.astype(y.dtype)
+        preferred_element_type=pet)
+    y = y.astype(jnp.float32) + b.astype(jnp.float32)
     return y.astype(in_dtype)
 
 
