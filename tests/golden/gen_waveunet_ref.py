@@ -314,14 +314,22 @@ def gen_spectrogram():
     mix = v1.placeholder(tf.float32, mix_np.shape)
     outs = sep.get_output(mix, training=False, return_spectrogram=False,
                           reuse=False)
+    # U7a's L1-magnitude loss consumes the return_spectrogram branch
+    # (`UnetSpectrogramSeparator.py:94-95`, `Training.py:55-62`); same
+    # variables (reuse=True), second head.
+    mags = sep.get_output(mix, training=False, return_spectrogram=True,
+                          reuse=True)
     with v1.Session() as sess:
         sess.run(v1.global_variables_initializer())
         assign_spectro_weights(sess)
         res = sess.run(outs, feed_dict={mix: mix_np})
+        res_m = sess.run(mags, feed_dict={mix: mix_np})
         v1.train.Saver().save(sess, os.path.join(OUT_SPEC, "model.ckpt"))
     np.savez(os.path.join(OUT_SPEC, "golden.npz"), mix=mix_np,
-             **{f"out_{k}": v for k, v in res.items()})
-    print("[ref] spectro golden:", {k: v.shape for k, v in res.items()})
+             **{f"out_{k}": v for k, v in res.items()},
+             **{f"mag_{k}": v for k, v in res_m.items()})
+    print("[ref] spectro golden:", {k: v.shape for k, v in res.items()},
+          {k: v.shape for k, v in res_m.items()})
 
 
 def main():

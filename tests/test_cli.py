@@ -94,3 +94,27 @@ def test_warmup_and_profile_cmds(tmp_path):
                  + [f"output_path={tmp_path / 'prof'}"], str(tmp_path))
     assert r.returncode == 0, r.stderr[-1500:]
     assert (tmp_path / "prof").exists()
+
+
+def test_stream_cmd(tmp_path):
+    """The serving surface through the CLI: chunked streaming separation of a
+    WAV writes one stem per source at full input length."""
+    from waveunet_tpu.data.audio_io import load, write_wav
+
+    sr = 22050
+    n = sr * 2
+    t = np.arange(n) / sr
+    mix = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None]
+    src = tmp_path / "song.wav"
+    write_wav(str(src), mix, sr)
+
+    r = _run_cli(["stream", "baseline", "num_layers=3", "num_frames=1024",
+                  "num_initial_filters=8", f"input_path={src}",
+                  "chunk_ms=250", "batch_windows=4",
+                  f"output_path={tmp_path}"], str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "audio-s/s" in r.stdout and "latency" in r.stdout
+    for s in ("vocals", "accompaniment"):
+        out, osr = load(str(tmp_path / f"song.wav_{s}_stream.wav"), sr=None,
+                        mono=False)
+        assert osr == sr and out.shape[0] == n

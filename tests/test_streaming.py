@@ -94,17 +94,16 @@ def test_batched_stream_bit_matches_serial(setup, batch_windows):
         np.testing.assert_allclose(a, b, atol=1e-6, err_msg=s)
 
 
-def test_batched_stream_one_dispatch_for_many_windows(setup, monkeypatch):
-    """A burst containing many complete windows is separated in ceil(n/batch)
-    dispatches, not n."""
+def test_batched_stream_batches_dispatches(setup):
+    """A burst containing many complete windows is swept in batched drains
+    (pow2-bucketed window counts), not one dispatch per window."""
     cfg, params, audio = setup
     stream = StreamingSeparator(cfg, params, batch_windows=4)
     calls = []
-    real = stream._fwd
-    stream._fwd = lambda p, x: (calls.append(int(x.shape[0])) or real(p, x))
-    stream.push(audio)  # 2000 samples
+    real = stream._drain_k
+    stream._drain_k = (lambda p, buf, k:
+                       (calls.append(k) or real(p, buf, k=k)))
+    stream.push(audio)  # 2000 samples -> several complete windows
     stream.flush()
-    n_windows = sum(calls.count(b) * 1 for b in set(calls))
     assert max(calls) > 1, f"expected batched dispatches, got {calls}"
-    # total windows processed is the same as a serial stream would need
-    assert sum(calls) >= n_windows
+    assert all(k in (1, 2, 4) for k in calls), calls

@@ -38,7 +38,7 @@ def _split_args(args: List[str]) -> Tuple[List[str], Dict[str, str]]:
     """Split CLI fragments into config fragments and CLI-local options."""
     cli_keys = {"input_path", "output_path", "checkpoint", "subset",
                 "experiment_id", "max_epochs", "win_s", "max_tracks",
-                "final_eval", "tpu_bss"}
+                "final_eval", "tpu_bss", "chunk_ms", "batch_windows"}
     cfg_frags, opts = [], {}
     for a in args:
         if "=" in a:
@@ -227,6 +227,56 @@ def cmd_warmup(args):
     print("warmup complete; compiled programs persisted to the XLA cache")
 
 
+def cmd_stream(args):
+    """Simulate real-time serving: feed an audio file through the streaming
+    separator in fixed-size chunks, write stems, report throughput/latency.
+
+      stream <preset> input_path=<audio> [chunk_ms=500] [batch_windows=8]
+             [checkpoint=...] [output_path=dir]
+    """
+    _setup_jax()
+    import time
+
+    from waveunet_tpu.config import config_from_cli
+    from waveunet_tpu.data.audio_io import load, write_wav
+    from waveunet_tpu.infer.streaming import StreamingSeparator
+
+    cfg_frags, opts = _split_args(args)
+    cfg = config_from_cli(cfg_frags)
+    if "input_path" not in opts:
+        print("stream requires input_path=<audio file>", file=sys.stderr)
+        sys.exit(2)
+    params, _ = _load_params(cfg, opts.get("checkpoint"))
+    audio, _sr = load(opts["input_path"], sr=cfg.expected_sr,
+                      mono=cfg.mono_downmix)
+    if not cfg.mono_downmix and audio.shape[1] == 1:
+        audio = np.tile(audio, [1, 2])
+    chunk = max(1, int(float(opts.get("chunk_ms", "500"))
+                       * cfg.expected_sr / 1000))
+    stream = StreamingSeparator(cfg, params,
+                                batch_windows=int(opts.get("batch_windows",
+                                                           "8")))
+    outs = {s: [] for s in cfg.source_names}
+    t0 = time.perf_counter()
+    for i in range(0, audio.shape[0], chunk):
+        for s, v in stream.push(audio[i:i + chunk]).items():
+            outs[s].append(v)
+    for s, v in stream.flush().items():
+        outs[s].append(v)
+    dt = time.perf_counter() - t0
+    seconds = audio.shape[0] / cfg.expected_sr
+    print(f"streamed {seconds:.1f} s in {dt:.2f} s "
+          f"({seconds / dt:.1f} audio-s/s; algorithmic latency "
+          f"{stream.latency_samples / cfg.expected_sr * 1000:.0f} ms)")
+    folder, fname = os.path.split(opts["input_path"])
+    out_dir = opts.get("output_path", folder)
+    os.makedirs(out_dir, exist_ok=True)
+    for s, v in outs.items():
+        path = os.path.join(out_dir, f"{fname}_{s}_stream.wav")
+        write_wav(path, np.concatenate(v), cfg.expected_sr)
+        print(f"{s}: {path}")
+
+
 def cmd_convert_checkpoint(args):
     """Convert a reference TF Saver-V2 checkpoint into an Orbax checkpoint:
     convert-checkpoint <preset> checkpoint=<tf ckpt> output_path=<dir>."""
@@ -260,6 +310,7 @@ _COMMANDS = {
     "warmup": cmd_warmup,
     "convert-checkpoint": cmd_convert_checkpoint,
     "predict": cmd_predict,
+    "stream": cmd_stream,
     "evaluate": cmd_evaluate,
     "prepare-data": cmd_prepare_data,
     "presets": cmd_presets,

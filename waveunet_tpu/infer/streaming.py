@@ -1,24 +1,27 @@
 """Streaming separation for serving: push audio chunks, pull separated stems.
 
 The reference only supports whole-file offline separation
-(`/root/reference/Evaluate.py:82-145`). For production serving this wrapper
-runs the same context-padded windowed inference incrementally:
+(`/root/reference/Evaluate.py:82-145`). For production serving this runs the
+same context-padded windowed inference incrementally — designed transfer-first
+like the offline engine:
 
-  * incoming samples accumulate in a ring buffer seeded with (in-out)/2 zeros
-    of leading context (the offline engine's left pad);
+  * the analysis context lives in a DEVICE-RESIDENT ring buffer: each pushed
+    sample crosses the host->device wire exactly once (a host-side buffer
+    would re-ship the in_len/out_len ~ 9x redundant context of every window);
+    chunk H2D lengths are bucketed to powers of two so appends compile O(log)
+    many times;
   * whenever full analysis windows are available, up to ``batch_windows`` of
-    them are swept through ONE jitted batched forward (batch sizes bucketed to
-    powers of two so at most log2(batch_windows)+1 shapes ever compile),
-    emitting ``out_len`` new samples per window (algorithmic latency =
-    out_len + context, independent of batching);
+    them are framed on device (static-offset dynamic_slice) and swept through
+    ONE jitted batched forward (window-count buckets: powers of two), the
+    buffer rolling forward in the same program;
+  * outputs are quantised to int16 on device when ``cfg.infer_wire_dtype ==
+    "int16"`` (halves the device->host wire, identical to the offline
+    engine's PCM16-lossless trick);
   * ``flush()`` zero-pads the tail to emit the remainder (the only place the
     stream can differ from offline separation, which right-aligns its final
     window into real future context).
 
-Serving throughput: the serial batch-1 dispatch pattern this replaces is
-exactly the reference's per-window ``sess.run`` loop
-(`Evaluate.py:125-139`); batching keeps the MXU busy across windows the same
-way the offline engine does.
+Algorithmic latency = out_len + context, independent of batching.
 
 Parity: every fully-contexted output sample matches the offline engine's
 output for the same signal, and batched draining matches serial draining to
@@ -27,6 +30,7 @@ fp32 conv-tiling tolerance (tested in tests/test_streaming.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -38,6 +42,13 @@ from waveunet_tpu.models.waveunet import apply_waveunet
 from waveunet_tpu.ops import shapes
 
 
+def _pow2_ceil(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 class StreamingSeparator:
     def __init__(self, cfg: Config, params, batch_windows: int = 1):
         self.cfg = cfg
@@ -46,18 +57,49 @@ class StreamingSeparator:
         self.pad = (self.in_len - self.out_len) // 2
         self.batch = max(1, batch_windows)
         self.params = params
+        self._wire16 = cfg.infer_wire_dtype == "int16"
 
-        def fwd(p, x):
-            return apply_waveunet(p, cfg, x, training=False)
+        # Ring capacity: after a full drain valid < in_len; one appended
+        # chunk bucket (<= 2 * max piece) plus flush-tail slack must fit.
+        self._max_piece = self.batch * self.out_len
+        self._cap = (self.in_len + 2 * _pow2_ceil(self._max_piece)
+                     + 2 * self.out_len)
 
-        self._fwd = jax.jit(fwd)
+        n_ch = cfg.num_channels
+        in_len = self.in_len
+        out_len = self.out_len
+        wire16 = self._wire16
+
+        @jax.jit
+        def append(buf, chunk, valid):
+            return jax.lax.dynamic_update_slice(buf, chunk, (valid, 0))
+
+        self._append = append
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def drain(p, buf, *, k: int):
+            wins = jnp.stack([
+                jax.lax.dynamic_slice(buf, (i * out_len, 0), (in_len, n_ch))
+                for i in range(k)])
+            out = apply_waveunet(p, cfg, wins, training=False)
+            if wire16:
+                out = {s: jnp.round(jnp.clip(v, -1.0, 1.0) * 32767.0
+                                    ).astype(jnp.int16)
+                       for s, v in out.items()}
+            # advance the ring: the tail beyond `valid` is dead and will be
+            # overwritten by future appends before it is ever framed.
+            new_buf = jnp.roll(buf, -k * out_len, axis=0)
+            return out, new_buf
+
+        self._drain_k = drain
         self.reset()
 
     def reset(self):
         # leading context zeros, matching the offline engine's left pad
-        self._buf = np.zeros((self.pad, self.cfg.num_channels), np.float32)
-        self._emitted = 0  # output samples produced so far
-        self._pushed = 0   # input samples received so far
+        self._buf = jnp.zeros((self._cap, self.cfg.num_channels), jnp.float32)
+        self._valid = self.pad   # rows of self._buf that hold real signal
+        self._emitted = 0        # output samples produced so far
+        self._pushed = 0         # input samples received so far
 
     @property
     def latency_samples(self) -> int:
@@ -72,58 +114,64 @@ class StreamingSeparator:
         if chunk.ndim == 1:
             chunk = chunk[:, None]
         assert chunk.shape[1] == self.cfg.num_channels
-        self._buf = np.concatenate([self._buf, chunk])
         self._pushed += chunk.shape[0]
-        return self._drain(final=False)
+        outs = {s: [] for s in self.cfg.source_names}
+        off = 0
+        while off < chunk.shape[0]:
+            piece = chunk[off:off + self._max_piece]
+            off += piece.shape[0]
+            n_real = piece.shape[0]
+            bucket = _pow2_ceil(n_real)
+            if n_real < bucket:
+                piece = np.pad(piece, [(0, bucket - n_real), (0, 0)])
+            if self._valid + bucket > self._cap:
+                self._drain_into(outs, target=None)
+            if self._valid + bucket > self._cap:  # pathological: force-drain
+                raise RuntimeError("streaming ring overflow")
+            self._buf = self._append(self._buf, jnp.asarray(piece),
+                                     self._valid)
+            self._valid += n_real
+            self._drain_into(outs, target=None)
+        return self._collect(outs)
 
     def flush(self) -> Dict[str, np.ndarray]:
         """Zero-pad the tail and emit everything up to the stream end."""
         remaining = self._pushed - self._emitted
         if remaining <= 0:
             return self._empty()
-        pad_needed = self.in_len  # enough to complete the last window(s)
-        self._buf = np.concatenate(
-            [self._buf, np.zeros((pad_needed, self.cfg.num_channels),
-                                 np.float32)])
-        out = self._drain(final=True)
-        return out
-
-    def _empty(self) -> Dict[str, np.ndarray]:
-        return {s: np.zeros((0, self.cfg.num_channels), np.float32)
-                for s in self.cfg.source_names}
-
-    @staticmethod
-    def _bucket(k: int) -> int:
-        b = 1
-        while b < k:
-            b *= 2
-        return b
-
-    def _drain(self, final: bool) -> Dict[str, np.ndarray]:
+        n_win = -(-remaining // self.out_len)
+        need = (n_win - 1) * self.out_len + self.in_len - self._valid
         outs = {s: [] for s in self.cfg.source_names}
-        target = self._pushed if final else None
+        while need > 0:
+            z = min(need, self._max_piece)
+            bucket = _pow2_ceil(z)
+            if self._valid + bucket > self._cap:
+                self._drain_into(outs, target=self._pushed)
+            self._buf = self._append(
+                self._buf,
+                jnp.zeros((bucket, self.cfg.num_channels), jnp.float32),
+                self._valid)
+            self._valid += z
+            need -= z
+        self._drain_into(outs, target=self._pushed)
+        return self._collect(outs)
+
+    def _drain_into(self, outs, target):
         while True:
             if target is not None and self._emitted >= target:
-                break
-            # number of complete windows sitting in the buffer
+                return
             avail = 0
-            if self._buf.shape[0] >= self.in_len:
-                avail = (self._buf.shape[0] - self.in_len) // self.out_len + 1
+            if self._valid >= self.in_len:
+                avail = (self._valid - self.in_len) // self.out_len + 1
             if target is not None:
                 need = -(-(target - self._emitted) // self.out_len)
                 avail = min(avail, need)
             if avail <= 0:
-                break
+                return
             k = min(avail, self.batch)
-            windows = np.stack([
-                self._buf[i * self.out_len:i * self.out_len + self.in_len]
-                for i in range(k)])
-            b = self._bucket(k)
-            if b > k:  # pad to the bucket shape; padded rows are discarded
-                windows = np.concatenate(
-                    [windows, np.zeros((b - k,) + windows.shape[1:],
-                                       np.float32)])
-            res = self._fwd(self.params, jnp.asarray(windows))
+            k = 1 << (k.bit_length() - 1)  # pow2 bucket <= k available
+            res, self._buf = self._drain_k(self.params, self._buf, k=k)
+            self._valid -= k * self.out_len
             for i in range(k):
                 take = self.out_len
                 if target is not None:
@@ -131,9 +179,17 @@ class StreamingSeparator:
                 if take <= 0:
                     break
                 for s in self.cfg.source_names:
-                    outs[s].append(np.asarray(res[s][i, :take]))
+                    v = np.asarray(res[s][i, :take])
+                    if self._wire16:
+                        v = v.astype(np.float32) / 32767.0
+                    outs[s].append(v)
                 self._emitted += take
-            self._buf = self._buf[k * self.out_len:]
+
+    def _empty(self) -> Dict[str, np.ndarray]:
+        return {s: np.zeros((0, self.cfg.num_channels), np.float32)
+                for s in self.cfg.source_names}
+
+    def _collect(self, outs) -> Dict[str, np.ndarray]:
         if not outs[self.cfg.source_names[0]]:
             return self._empty()
         return {s: np.concatenate(v) for s, v in outs.items()}
