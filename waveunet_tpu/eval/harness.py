@@ -84,8 +84,10 @@ def _bss_eval(refs: np.ndarray, ests: np.ndarray, rate: int, win_s: float,
     """Framewise metrics: the ``museval`` package when installed (exact parity
     with the reference's scoring, `Evaluate.py:71`), else the built-in
     BSS-Eval v4 implementation. ``tpu_bss`` opts into the device-batched
-    fp32+refinement path (eval/bsseval_tpu.py, <0.01 dB vs host fp64) —
-    cuts full-dataset scoring from hours of host LU to minutes on-chip."""
+    fp32+refinement path (eval/bsseval_tpu.py): SDR exact, ISR <0.03 dB;
+    SIR/SAR regularization-defined (~0.5 dB) on numerically-singular music
+    windows — see that module's accuracy contract. Cuts full-dataset scoring
+    from hours of host LU to minutes on-chip."""
     if tpu_bss:
         from waveunet_tpu.eval.bsseval_tpu import bss_eval_framewise_tpu
         return bss_eval_framewise_tpu(refs, ests, rate, win_s=win_s,
