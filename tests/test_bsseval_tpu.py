@@ -77,3 +77,23 @@ def test_tpu_three_sources_stereo():
     host = bss_eval_framewise(refs, ests, rate=rate, filter_len=32)
     dev = bss_eval_framewise_tpu(refs, ests, rate=rate, filter_len=32)
     _assert_close(host, dev)
+
+
+def test_tpu_bsseval_on_mesh_matches_single_device():
+    """Window-parallel metric scoring over the 8-device mesh == one device."""
+    import jax
+    from waveunet_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rate = 512
+    rng = np.random.default_rng(3)
+    refs, ests = _mix_case(rng, S=2, n=9 * rate + 40, C=1)
+    single = bss_eval_framewise_tpu(refs, ests, rate=rate, filter_len=32,
+                                    window_batch=8)
+    mesh = make_mesh()
+    multi = bss_eval_framewise_tpu(refs, ests, rate=rate, filter_len=32,
+                                   window_batch=8, mesh=mesh)
+    for k in ("SDR", "ISR", "SIR", "SAR"):
+        np.testing.assert_allclose(multi[k], single[k], atol=1e-3, rtol=1e-4,
+                                    err_msg=k)

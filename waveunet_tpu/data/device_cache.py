@@ -24,8 +24,7 @@ podscale variants can shard songs per host and sample locally.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -191,9 +191,17 @@ def bss_eval_framewise_tpu(references: np.ndarray, estimates: np.ndarray,
                            rate: int, win_s: float = 1.0, hop_s: float = 1.0,
                            filter_len: int = FILTER_LEN,
                            refine_iters: int = 2,
-                           window_batch: int = 8) -> Dict[str, np.ndarray]:
+                           window_batch: int = 8,
+                           mesh=None) -> Dict[str, np.ndarray]:
     """Device-batched framewise metrics; same contract as
-    ``bsseval.bss_eval_framewise``. references/estimates: [S, n, C]."""
+    ``bsseval.bss_eval_framewise``. references/estimates: [S, n, C].
+
+    With ``mesh``, windows shard over the data axis (window parallelism,
+    identical to the inference engine's layout): each chip factorises and
+    projects its own windows — metric throughput scales linearly because
+    windows are embarrassingly parallel. ``window_batch`` should be a
+    multiple of the mesh size (it is padded to a full batch regardless).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -203,9 +211,15 @@ def bss_eval_framewise_tpu(references: np.ndarray, estimates: np.ndarray,
     starts = np.arange(0, max(n - win + 1, 1), hop)
     nfft = _nfft_for(win)
 
-    kern = jax.jit(jax.vmap(functools.partial(
+    vkern = jax.vmap(functools.partial(
         _window_kernel, L=filter_len, nfft=nfft,
-        refine_iters=refine_iters)))
+        refine_iters=refine_iters))
+    if mesh is None:
+        kern = jax.jit(vkern)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data = NamedSharding(mesh, P(mesh.axis_names))
+        kern = jax.jit(vkern, in_shardings=(data, data), out_shardings=data)
 
     out = {k: np.full((S, len(starts)), np.nan)
            for k in ("SDR", "ISR", "SIR", "SAR")}

@@ -80,7 +80,7 @@ def separate_track(sep: Separator, cfg: Config, mix: np.ndarray, rate: int
 
 
 def _bss_eval(refs: np.ndarray, ests: np.ndarray, rate: int, win_s: float,
-              tpu_bss: bool = False) -> Dict[str, np.ndarray]:
+              tpu_bss: bool = False, mesh=None) -> Dict[str, np.ndarray]:
     """Framewise metrics: the ``museval`` package when installed (exact parity
     with the reference's scoring, `Evaluate.py:71`), else the built-in
     BSS-Eval v4 implementation. ``tpu_bss`` opts into the device-batched
@@ -90,8 +90,9 @@ def _bss_eval(refs: np.ndarray, ests: np.ndarray, rate: int, win_s: float,
     from hours of host LU to minutes on-chip."""
     if tpu_bss:
         from waveunet_tpu.eval.bsseval_tpu import bss_eval_framewise_tpu
+        wb = 8 if mesh is None else max(8, mesh.size)
         return bss_eval_framewise_tpu(refs, ests, rate, win_s=win_s,
-                                      hop_s=win_s)
+                                      hop_s=win_s, window_batch=wb, mesh=mesh)
     try:
         import museval.metrics as mm  # type: ignore
 
@@ -116,12 +117,12 @@ def evaluate_track(cfg: Config, name: str, mix: np.ndarray, rate: int,
 
 
 def _score_and_write(cfg, name, mix_len, rate, targets, preds, results_dir,
-                     estimates_dir, win_s, tpu_bss=False):
+                     estimates_dir, win_s, tpu_bss=False, mesh=None):
     eval_names = [s for s in _EVAL_TARGETS[cfg.task]
                   if s in preds and s in targets]
     refs = np.stack([targets[s][:mix_len] for s in eval_names])
     ests = np.stack([preds[s] for s in eval_names])
-    res = _bss_eval(refs, ests, rate, win_s, tpu_bss)
+    res = _bss_eval(refs, ests, rate, win_s, tpu_bss, mesh)
     per_target = {s: {k: res[k][i] for k in res}
                   for i, s in enumerate(eval_names)}
     if results_dir is not None:
@@ -184,7 +185,7 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
         print(f"Separating {name}...")
         preds = separate_track(sep, cfg, mix, rate)
         q.put((name, mix.shape[0], rate, targets, preds, results_dir,
-               output_path, win_s, tpu_bss))
+               output_path, win_s, tpu_bss, mesh))
         count += 1
         if max_tracks is not None and count >= max_tracks:
             break

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from waveunet_tpu.config import Config
 from waveunet_tpu.ops.conv import conv2d, conv2d_init, conv2d_transpose
 from waveunet_tpu.ops.primitives import leaky_relu, pad_freqs
-from waveunet_tpu.ops.stft import FRAME_LEN, HOP, istft, stft
+from waveunet_tpu.ops.stft import istft, stft
 
 _BN_MOMENTUM = 0.999
 _BN_EPS = 0.001
