@@ -236,6 +236,10 @@ CASES = {
     # the 14-layer small-filter M7 architecture (Config.py:101-110)
     "smallfilter_deep_14": dict(preset="baseline_context_smallfilter_deep",
                                 batch=1),
+    # M6: 4 sources (bass/drums/other/vocals), difference output -> 3 output
+    # convs + reconstructed last source (Config.py:112-122, OutputLayer.py:11)
+    "multi_instrument_4src": dict(preset="full_multi_instrument", num_layers=3,
+                                  num_frames=512, num_initial_filters=8),
 }
 
 
