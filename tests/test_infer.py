@@ -171,3 +171,35 @@ def test_bundled_reference_wav_end_to_end(tmp_path, bundled_wav):
         y, ysr = load(p, sr=None, mono=False)
         assert ysr == sr and y.shape == mix.shape
         assert np.all(np.abs(y) <= 1.0)
+
+
+def test_slab_mode_matches_song_mode(rng):
+    """Pipelined per-chunk slab H2D produces exactly the song-mode output
+    (same windows, same program shapes -> bitwise on CPU)."""
+    cfg = get_config("baseline_context", num_layers=3, num_frames=256,
+                     infer_batch=4)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    _, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    audio = (0.1 * rng.standard_normal((out_len * 13 + 31, 1))
+             ).astype(np.float32)
+    song = Separator(cfg, params, h2d_mode="song").separate(
+        audio, cfg.expected_sr)
+    slabs = Separator(cfg, params, h2d_mode="slabs").separate(
+        audio, cfg.expected_sr)
+    for s in cfg.source_names:
+        np.testing.assert_array_equal(slabs[s], song[s], err_msg=s)
+
+
+def test_slab_mode_matches_song_mode_int16_wire(rng):
+    cfg = get_config("baseline_context", num_layers=3, num_frames=256,
+                     infer_batch=4, infer_wire_dtype="int16")
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    _, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    audio = (0.1 * rng.standard_normal((out_len * 9 + 7, 1))
+             ).astype(np.float32)
+    song = Separator(cfg, params, h2d_mode="song").separate(
+        audio, cfg.expected_sr)
+    slabs = Separator(cfg, params, h2d_mode="slabs").separate(
+        audio, cfg.expected_sr)
+    for s in cfg.source_names:
+        np.testing.assert_array_equal(slabs[s], song[s], err_msg=s)

@@ -63,7 +63,8 @@ class Separator:
 
     def __init__(self, cfg: Config, params, model_state=None,
                  forward_fn: Optional[Callable] = None,
-                 mesh: Optional[jax.sharding.Mesh] = None):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 h2d_mode: Optional[str] = None):
         self.cfg = cfg
         self.params = params
         frames = cfg.infer_num_frames or cfg.num_frames
@@ -73,6 +74,15 @@ class Separator:
         n_dev = 1 if mesh is None else mesh.size
         # Per-sweep device batch: windows per step across the whole mesh.
         self.batch = max(1, cfg.infer_batch) * n_dev
+        # Host->device strategy: "song" ships the padded song once and frames
+        # every window from it (minimum wire bytes); "slabs" ships each
+        # chunk's span separately so the transfer of chunk i+1 overlaps chunk
+        # i's compute, at (in_len-out_len)/(batch*out_len) extra wire from the
+        # inter-slab context overlap. None = auto: slabs when that overhead is
+        # <=1/3 (true for the tuned large inference windows, false at the
+        # 9x-context training window) on a single device.
+        assert h2d_mode in (None, "song", "slabs")
+        self._h2d_mode = h2d_mode
 
         # Host-side reconstruction of the difference source (skips its device
         # compute + D2H transfer); only for the default unet forward.
@@ -108,10 +118,11 @@ class Separator:
 
         self._forward_fn = forward_fn
 
-        # The song is shipped to the device ONCE and windows are framed
-        # on-device via vmapped dynamic_slice (measured free vs the forward
-        # pass; an index-matrix gather costs ~2x, and host-side framing would
-        # send ~in_len/out_len (≈9x) redundant H2D traffic).
+        # Windows are framed on-device via vmapped dynamic_slice from either
+        # the whole padded song or a per-chunk slab (see h2d_mode above) —
+        # measured free vs the forward pass; an index-matrix gather costs
+        # ~2x, and per-WINDOW host framing would send ~in_len/out_len (up to
+        # 9x) redundant H2D traffic.
         in_len = self.in_len
         n_ch = cfg.num_channels
         wire = cfg.infer_wire_dtype
@@ -222,21 +233,47 @@ class Separator:
             # are PCM16 regardless). Native C++ kernel when built.
             from waveunet_tpu.runtime import native
             padded = native.quantize_int16(padded)
-        song = jnp.asarray(padded)
-        if self._song_sharding is not None:
-            song = jax.device_put(song, self._song_sharding)
+        use_slabs = self._h2d_mode == "slabs" or (
+            self._h2d_mode is None and self.mesh is None and n_chunks >= 2
+            and 3 * (self.in_len - self.out_len) <= bs * self.out_len)
 
-        dpos = jnp.asarray(pos_pad)  # single tiny H2D; chunks slice on device
         futures = []
-        for ci in range(n_chunks):
-            res = self._fwd(self.params, song,
-                            jax.lax.slice(dpos, (ci * bs,), ((ci + 1) * bs,)))
-            for v in res.values():  # start D2H as soon as each chunk finishes
-                try:
-                    v.copy_to_host_async()
-                except Exception:
-                    pass
-            futures.append(res)
+        if use_slabs:
+            # Pipelined H2D: each chunk's span ships separately, so chunk
+            # i+1's transfer rides the wire while chunk i computes (the
+            # song-mode transfer is one blob every chunk depends on).
+            slab_len = (bs - 1) * self.out_len + self.in_len
+            for ci in range(n_chunks):
+                cpos = pos_pad[ci * bs:(ci + 1) * bs]
+                start = int(cpos[0])
+                slab = padded[start:start + slab_len]
+                if slab.shape[0] < slab_len:
+                    slab = np.pad(slab,
+                                  [(0, slab_len - slab.shape[0]), (0, 0)])
+                rel = jnp.asarray((cpos - start).astype(np.int32))
+                res = self._fwd(self.params, jnp.asarray(slab), rel)
+                for v in res.values():
+                    try:
+                        v.copy_to_host_async()
+                    except Exception:
+                        pass
+                futures.append(res)
+        else:
+            song = jnp.asarray(padded)
+            if self._song_sharding is not None:
+                song = jax.device_put(song, self._song_sharding)
+
+            dpos = jnp.asarray(pos_pad)  # one tiny H2D; chunks slice on device
+            for ci in range(n_chunks):
+                res = self._fwd(
+                    self.params, song,
+                    jax.lax.slice(dpos, (ci * bs,), ((ci + 1) * bs,)))
+                for v in res.values():  # start D2H as each chunk finishes
+                    try:
+                        v.copy_to_host_async()
+                    except Exception:
+                        pass
+                futures.append(res)
 
         # Host-side stitch: no song-length-dependent device program (a device
         # stitch would recompile per song — fatal for dataset evals on this
