@@ -215,11 +215,35 @@ class Separator:
         """
         n_win = positions.shape[0]
         bs = self.batch
-        n_chunks = -(-n_win // bs)
-        # Pad positions (repeat last) to a whole number of chunks, and the song
-        # to a length bucket (extra zeros are never gathered: positions are
-        # bounded by n_total - out_len).
-        pos_pad = np.full((n_chunks * bs,), positions[-1], np.int32)
+        # Chunk sizes: full device batches, then a pow2-bucketed tail chunk
+        # (single-device only — a sharded batch must stay mesh-divisible).
+        # Padding the tail to the FULL batch instead wastes up to ~2x compute
+        # and D2H on short songs (measured: a 30 s 22 kHz song at the 65536
+        # window is 11 windows — 16-slot padding burned 45% of the sweep).
+        sizes = [bs] * (n_win // bs)
+        rem = n_win % bs
+        if rem:
+            if self.mesh is None:
+                def pow2ceil(v):
+                    b = 1
+                    while b < v:
+                        b *= 2
+                    return b
+                single = min(pow2ceil(rem), bs)
+                lo = 1 << (rem.bit_length() - 1)  # largest pow2 <= rem
+                if rem > lo and lo + pow2ceil(rem - lo) < single:
+                    # two pow2 chunks waste fewer padded slots than one
+                    # (e.g. 11 -> 8+4=12 slots, not 16); each padded slot
+                    # costs real compute AND D2H wire.
+                    sizes += [lo, pow2ceil(rem - lo)]
+                else:
+                    sizes.append(single)
+            else:
+                sizes.append(bs)
+        # Pad positions (repeat last) to the chunk-size sum, and the song to a
+        # length bucket (extra zeros are never gathered: positions are bounded
+        # by n_total - out_len).
+        pos_pad = np.full((sum(sizes),), positions[-1], np.int32)
         pos_pad[:n_win] = positions
         t = padded.shape[0]
         t_bucket = -(-t // self._LEN_BUCKET) * self._LEN_BUCKET
@@ -234,17 +258,18 @@ class Separator:
             from waveunet_tpu.runtime import native
             padded = native.quantize_int16(padded)
         use_slabs = self._h2d_mode == "slabs" or (
-            self._h2d_mode is None and self.mesh is None and n_chunks >= 2
+            self._h2d_mode is None and self.mesh is None and len(sizes) >= 2
             and 3 * (self.in_len - self.out_len) <= bs * self.out_len)
 
         futures = []
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
         if use_slabs:
             # Pipelined H2D: each chunk's span ships separately, so chunk
             # i+1's transfer rides the wire while chunk i computes (the
             # song-mode transfer is one blob every chunk depends on).
-            slab_len = (bs - 1) * self.out_len + self.in_len
-            for ci in range(n_chunks):
-                cpos = pos_pad[ci * bs:(ci + 1) * bs]
+            for ci, k in enumerate(sizes):
+                cpos = pos_pad[offsets[ci]:offsets[ci + 1]]
+                slab_len = (k - 1) * self.out_len + self.in_len
                 start = int(cpos[0])
                 slab = padded[start:start + slab_len]
                 if slab.shape[0] < slab_len:
@@ -264,10 +289,11 @@ class Separator:
                 song = jax.device_put(song, self._song_sharding)
 
             dpos = jnp.asarray(pos_pad)  # one tiny H2D; chunks slice on device
-            for ci in range(n_chunks):
+            for ci, k in enumerate(sizes):
                 res = self._fwd(
                     self.params, song,
-                    jax.lax.slice(dpos, (ci * bs,), ((ci + 1) * bs,)))
+                    jax.lax.slice(dpos, (int(offsets[ci]),),
+                                  (int(offsets[ci + 1]),)))
                 for v in res.values():  # start D2H as each chunk finishes
                     try:
                         v.copy_to_host_async()
