@@ -172,6 +172,8 @@ class StreamingSeparator:
             k = 1 << (k.bit_length() - 1)  # pow2 bucket <= k available
             res, self._buf = self._drain_k(self.params, self._buf, k=k)
             self._valid -= k * self.out_len
+            # one D2H per source for the whole drained batch
+            host = {s: np.asarray(res[s]) for s in self.cfg.source_names}
             for i in range(k):
                 take = self.out_len
                 if target is not None:
@@ -179,7 +181,7 @@ class StreamingSeparator:
                 if take <= 0:
                     break
                 for s in self.cfg.source_names:
-                    v = np.asarray(res[s][i, :take])
+                    v = host[s][i, :take]
                     if self._wire16:
                         v = v.astype(np.float32) / 32767.0
                     outs[s].append(v)
