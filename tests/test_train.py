@@ -222,3 +222,67 @@ def test_optimise_preserves_opt_state_across_rounds(tmp_path, monkeypatch):
     loop_mod.optimise(cfg, experiment_id="slots", max_epochs_per_round=1)
     # exactly one init: the one inside init_state()
     assert calls["init"] == 1
+
+
+def test_scanned_epoch_matches_eager_loop(tmp_path):
+    """One lax.scan epoch over the device bank == the eager per-step loop
+    with aligned key conventions (same batches, same step rngs)."""
+    from tests.test_integration import _make_cache
+    from waveunet_tpu.data.device_cache import DeviceBank
+    from waveunet_tpu.train.step import make_scanned_epoch, make_train_step
+
+    cfg = get_config("baseline", num_layers=2, num_frames=256,
+                     num_initial_filters=4, batch_size=2, epoch_it=5,
+                     data_path=str(tmp_path / "cache"))
+    _make_cache(tmp_path, cfg)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    bank = DeviceBank(cfg, "train", in_len, out_len)
+
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    init_opt, step_fn = make_train_step(cfg, 1e-4)
+    data_key = jax.random.PRNGKey(123)
+    step_rng = jax.random.PRNGKey(7)
+
+    # eager: sample + step per iteration with the scan's key convention
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    p_e, ms_e, opt_e = copy(params), {}, init_opt(params)
+    eager_losses = []
+    for i in range(cfg.epoch_it):
+        batch = bank._sample(bank._bank, bank._starts, bank._valids,
+                             jax.random.fold_in(data_key, i))
+        p_e, ms_e, opt_e, loss = step_fn(p_e, ms_e, opt_e, batch,
+                                         jax.random.fold_in(step_rng, i))
+        eager_losses.append(float(loss))
+
+    epoch_fn = make_scanned_epoch(cfg, 1e-4, cfg.epoch_it, bank.sample_raw)
+    p_s, ms_s, opt_s, losses = epoch_fn(
+        copy(params), {}, init_opt(params), bank._bank, bank._starts,
+        bank._valids, data_key, step_rng, 0)
+
+    np.testing.assert_allclose(np.asarray(losses), eager_losses, rtol=1e-5)
+    for k in p_e:
+        np.testing.assert_allclose(np.asarray(p_s[k]["kernel"]),
+                                   np.asarray(p_e[k]["kernel"]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_optimise_scanned_vs_loop(tmp_path):
+    """optimise() end-to-end with scan_epoch on and off: both train, both
+    produce finite losses and checkpoints."""
+    from tests.test_integration import _make_cache
+    from waveunet_tpu.train import loop as loop_mod
+
+    for scan in (True, False):
+        base = tmp_path / ("scan" if scan else "loop")
+        cfg = get_config("baseline", num_layers=2, num_frames=256,
+                         num_initial_filters=4, batch_size=2, epoch_it=3,
+                         num_snippets_per_track=4, cache_size=8,
+                         worse_epochs=1, scan_epoch=scan,
+                         data_path=str(base / "cache"),
+                         model_base_dir=str(base / "ckpt"),
+                         log_dir=str(base / "logs"))
+        _make_cache(base, cfg)
+        best, test_loss = loop_mod.optimise(cfg, experiment_id="s",
+                                            max_epochs_per_round=1)
+        assert np.isfinite(test_loss)
+        assert best and os.path.exists(best)

@@ -82,6 +82,10 @@ class Config:
     # host pipeline when the bank exceeds the budget below.
     device_data: bool = True
     device_data_max_bytes: int = 8 * 1024 ** 3
+    # Run each epoch as ONE jitted lax.scan over (bank sample -> train step)
+    # when training from the device bank on a single device — removes all
+    # per-step dispatch overhead (train/step.py:make_scanned_epoch).
+    scan_epoch: bool = True
     # How many per-epoch checkpoints to retain (0 = all, like the reference's
     # Saver; the best-validation checkpoint is always kept).
     keep_checkpoints: int = 0

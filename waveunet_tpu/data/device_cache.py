@@ -78,12 +78,15 @@ class DeviceBank:
         self._bank = jnp.asarray(bank)
         self._starts = jnp.asarray(np.asarray(starts, np.int32))
         self._valids = jnp.asarray(np.asarray(valids, np.int32))
-        self._sample = self._build_sampler()
+        # raw (traceable) sampler — composable inside larger jitted programs
+        # (the scanned-epoch path scans it together with the train step)
+        self.sample_raw = self._build_sampler(jit=False)
+        self._sample = jax.jit(self.sample_raw)
 
     def nbytes(self) -> int:
         return int(self._bank.size) * 2
 
-    def _build_sampler(self):
+    def _build_sampler(self, jit: bool = True):
         cfg = self.cfg
         S = cfg.num_sources
         in_len, out_len, pad = self.input_len, self.output_len, self.pad
@@ -114,7 +117,7 @@ class DeviceBank:
             batch["mix"] = mix
             return batch
 
-        return jax.jit(sample)
+        return jax.jit(sample) if jit else sample
 
     def batches(self, base_key=None):
         """Endless iterator of device-resident training batches."""

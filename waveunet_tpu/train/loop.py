@@ -44,10 +44,10 @@ class TrainState:
                 "opt_state": self.opt_state, "step": self.step}
 
 
-def make_train_iterator(cfg: Config, in_len: int, out_len: int,
-                        seed_offset: int = 0):
-    """Training batch source: device-resident HBM bank when it fits
-    (zero per-step host transfer), else the prefetched host pipeline."""
+def make_train_source(cfg: Config, in_len: int, out_len: int,
+                      seed_offset: int = 0):
+    """(bank, iterator): the device-resident HBM bank when it fits (zero
+    per-step host transfer; iterator None), else (None, host pipeline)."""
     if cfg.device_data:
         try:
             from waveunet_tpu.data.device_cache import DeviceBank
@@ -55,12 +55,21 @@ def make_train_iterator(cfg: Config, in_len: int, out_len: int,
                               max_bytes=cfg.device_data_max_bytes)
             print(f"Training from device-resident bank: {bank.n_songs} "
                   f"songs, {bank.nbytes() / 1e6:.0f} MB HBM")
-            return bank.batches(jax.random.PRNGKey(cfg.seed + seed_offset))
+            return bank, None
         except (FileNotFoundError, ValueError) as e:
             print(f"Device bank unavailable ({e}); using host pipeline")
     pipe = BatchPipeline(cfg, "train", in_len, out_len,
                          seed=cfg.seed + seed_offset)
-    return pipe.prefetched(pipe.train_batches())
+    return None, pipe.prefetched(pipe.train_batches())
+
+
+def make_train_iterator(cfg: Config, in_len: int, out_len: int,
+                        seed_offset: int = 0):
+    """Training batch source as an endless iterator (bank-backed or host)."""
+    bank, it = make_train_source(cfg, in_len, out_len, seed_offset)
+    if bank is not None:
+        return bank.batches(jax.random.PRNGKey(cfg.seed + seed_offset))
+    return it
 
 
 def init_state(cfg: Config, rng=None) -> TrainState:
@@ -98,6 +107,31 @@ def train_one_epoch(cfg: Config, state: TrainState, step_fn,
                    steps_per_sec=cfg.epoch_it / dt)
     return TrainState(params, mstate, opt_state,
                       state.step + cfg.epoch_it), mean_loss
+
+
+def train_one_epoch_scanned(cfg: Config, state: TrainState, epoch_fn, bank,
+                            data_key, logger: Optional[MetricLogger] = None,
+                            base_rng=None) -> Tuple[TrainState, float]:
+    """One epoch as ONE device program (lax.scan over sample+step — see
+    ``make_scanned_epoch``). Equivalent stream/rng conventions to
+    :func:`train_one_epoch` over a bank iterator."""
+    base_rng = base_rng if base_rng is not None else jax.random.PRNGKey(
+        cfg.seed)
+    t0 = time.time()
+    params, mstate, opt_state, losses = epoch_fn(
+        state.params, state.model_state, state.opt_state,
+        bank._bank, bank._starts, bank._valids, data_key, base_rng,
+        state.step)
+    losses = np.asarray(losses)
+    dt = time.time() - t0
+    if logger is not None:
+        for it in range(0, cfg.epoch_it, 50):
+            logger.log(state.step + it, sep_loss=float(losses[it]))
+        logger.log(state.step + cfg.epoch_it,
+                   epoch_mean_loss=float(losses.mean()),
+                   steps_per_sec=cfg.epoch_it / dt)
+    return TrainState(params, mstate, opt_state,
+                      state.step + cfg.epoch_it), float(losses.mean())
 
 
 def evaluate(cfg: Config, params, model_state, eval_step,
@@ -148,6 +182,8 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
             print("Finished first round of training, entering fine-tuning stage")
         _, step_fn = make_train_step(rcfg, rcfg.init_sup_sep_lr, mesh=mesh)
         eval_step = make_eval_step(rcfg, mesh=mesh)
+        epoch_fn = None
+        bank = None
         # Adam slots (moments + bias-correction count) carry across the round
         # boundary AND across resume: the reference restores ALL variables —
         # including Adam m/v and beta-power accumulators — from the previous
@@ -156,7 +192,17 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
         # round 2. optax.adam state layout is lr-independent, so the same
         # opt_state threads straight into the new step_fn.
 
-        train_it = make_train_iterator(rcfg, in_len, out_len, seed_offset=rnd)
+        bank, train_it = make_train_source(rcfg, in_len, out_len,
+                                           seed_offset=rnd)
+        if bank is not None and mesh is None and cfg.scan_epoch:
+            # Whole-epoch lax.scan over the device bank: one dispatch per
+            # epoch instead of epoch_it (`make_scanned_epoch`).
+            from waveunet_tpu.train.step import make_scanned_epoch
+            epoch_fn = make_scanned_epoch(rcfg, rcfg.init_sup_sep_lr,
+                                          rcfg.epoch_it, bank.sample_raw)
+            data_key = jax.random.PRNGKey(rcfg.seed + rnd)
+        elif bank is not None:
+            train_it = bank.batches(jax.random.PRNGKey(rcfg.seed + rnd))
 
         worse = 0
         epochs_this_round = 0
@@ -165,8 +211,12 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
                     and epochs_this_round >= max_epochs_per_round):
                 break
             print(f"EPOCH: {epoch}")
-            state, train_loss = train_one_epoch(rcfg, state, step_fn, train_it,
-                                                logger)
+            if epoch_fn is not None:
+                state, train_loss = train_one_epoch_scanned(
+                    rcfg, state, epoch_fn, bank, data_key, logger)
+            else:
+                state, train_loss = train_one_epoch(rcfg, state, step_fn,
+                                                    train_it, logger)
             path = ckpt.save_checkpoint(cfg.model_base_dir, experiment_id,
                                         state.step, state.as_pytree())
             ckpt.prune_checkpoints(cfg.model_base_dir, experiment_id,

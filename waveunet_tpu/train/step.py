@@ -120,6 +120,46 @@ def make_train_step(cfg: Config, lr: float,
     return tx.init, step_jit
 
 
+def make_scanned_epoch(cfg: Config, lr: float, n_steps: int, sample_fn):
+    """ONE jitted program for a whole epoch: ``lax.scan`` over
+    sample-from-HBM-bank -> train step.
+
+    The per-step dispatch pattern (even with async dispatch) pays host->device
+    launch latency and host-loop jitter 2000x per epoch; scanning the step
+    compiles the epoch once (scan does not unroll) and runs it with ZERO host
+    involvement — the TPU-native shape of `Training.py:103-109`'s hot loop.
+    Data comes from the device-resident bank via ``sample_fn`` (the bank's raw
+    traceable sampler), keys folded from (data_key, offset + i) and
+    (step_rng, step0 + i) so the stream matches the eager loop's convention.
+
+    Returns ``epoch(params, mstate, opt_state, bank, starts, valids,
+    data_key, step_rng, step0) -> (params, mstate, opt_state, losses)`` with
+    donated model/optimizer buffers. Single-device (the eager loop remains
+    the mesh path).
+    """
+    loss_fn = make_loss_fn(cfg, training=True)
+    tx = make_optimizer(lr)
+
+    def epoch(params, mstate, opt_state, bank, starts, valids, data_key,
+              step_rng, step0):
+        def body(carry, i):
+            params, mstate, opt_state = carry
+            batch = sample_fn(bank, starts, valids,
+                              jax.random.fold_in(data_key, step0 + i))
+            rng = jax.random.fold_in(step_rng, step0 + i)
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, mstate, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), loss
+
+        (params, mstate, opt_state), losses = jax.lax.scan(
+            body, (params, mstate, opt_state), jnp.arange(n_steps))
+        return params, mstate, opt_state, losses
+
+    return jax.jit(epoch, donate_argnums=(0, 1, 2))
+
+
 def make_eval_step(cfg: Config, mesh: Optional[jax.sharding.Mesh] = None):
     """Jitted validation loss (inference mode; BN uses moving stats) — replaces
     the reference's fresh-graph evaluator (`/root/reference/Test.py:34,73-79`)."""
