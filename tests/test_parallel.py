@@ -163,3 +163,40 @@ def test_pod_two_processes(tmp_path):
                                         {k: jnp.asarray(v)
                                          for k, v in glob.items()}))
     np.testing.assert_allclose(by_pid[0]["loss"], loss_1p, rtol=1e-5)
+
+
+def test_scanned_epoch_on_mesh_matches_single_device(tmp_path):
+    """The whole-epoch lax.scan with in-scan data-sharded batches produces
+    the same training trajectory as its single-device counterpart."""
+    _require_8()
+    from tests.test_integration import _make_cache
+    from waveunet_tpu.data.device_cache import DeviceBank
+    from waveunet_tpu.models.waveunet import init_waveunet
+    from waveunet_tpu.train.step import make_scanned_epoch, make_train_step
+
+    cfg = get_config("baseline", num_layers=2, num_frames=256,
+                     num_initial_filters=4, batch_size=8, epoch_it=4,
+                     data_path=str(tmp_path / "cache"))
+    _make_cache(tmp_path, cfg)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    bank = DeviceBank(cfg, "train", in_len, out_len)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    init_opt, _ = make_train_step(cfg, 1e-4)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    keys = (jax.random.PRNGKey(5), jax.random.PRNGKey(6))
+
+    e1 = make_scanned_epoch(cfg, 1e-4, cfg.epoch_it, bank.sample_raw)
+    p1, _, _, l1 = e1(copy(params), {}, init_opt(copy(params)), bank._bank,
+                      bank._starts, bank._valids, keys[0], keys[1], 0)
+
+    mesh = make_mesh()
+    e8 = make_scanned_epoch(cfg, 1e-4, cfg.epoch_it, bank.sample_raw,
+                            mesh=mesh)
+    p8, _, _, l8 = e8(copy(params), {}, init_opt(copy(params)), bank._bank,
+                      bank._starts, bank._valids, keys[0], keys[1], 0)
+
+    np.testing.assert_allclose(np.asarray(l8), np.asarray(l1), rtol=1e-5)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p8[k]["kernel"]),
+                                   np.asarray(p1[k]["kernel"]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)

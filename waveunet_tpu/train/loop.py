@@ -194,12 +194,14 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
 
         bank, train_it = make_train_source(rcfg, in_len, out_len,
                                            seed_offset=rnd)
-        if bank is not None and mesh is None and cfg.scan_epoch:
+        if bank is not None and cfg.scan_epoch:
             # Whole-epoch lax.scan over the device bank: one dispatch per
-            # epoch instead of epoch_it (`make_scanned_epoch`).
+            # epoch instead of epoch_it (`make_scanned_epoch`); on a mesh the
+            # in-scan batch shards over the data axis.
             from waveunet_tpu.train.step import make_scanned_epoch
             epoch_fn = make_scanned_epoch(rcfg, rcfg.init_sup_sep_lr,
-                                          rcfg.epoch_it, bank.sample_raw)
+                                          rcfg.epoch_it, bank.sample_raw,
+                                          mesh=mesh)
             data_key = jax.random.PRNGKey(rcfg.seed + rnd)
         elif bank is not None:
             train_it = bank.batches(jax.random.PRNGKey(rcfg.seed + rnd))

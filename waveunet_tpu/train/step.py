@@ -120,7 +120,8 @@ def make_train_step(cfg: Config, lr: float,
     return tx.init, step_jit
 
 
-def make_scanned_epoch(cfg: Config, lr: float, n_steps: int, sample_fn):
+def make_scanned_epoch(cfg: Config, lr: float, n_steps: int, sample_fn,
+                       mesh: Optional[jax.sharding.Mesh] = None):
     """ONE jitted program for a whole epoch: ``lax.scan`` over
     sample-from-HBM-bank -> train step.
 
@@ -134,8 +135,11 @@ def make_scanned_epoch(cfg: Config, lr: float, n_steps: int, sample_fn):
 
     Returns ``epoch(params, mstate, opt_state, bank, starts, valids,
     data_key, step_rng, step0) -> (params, mstate, opt_state, losses)`` with
-    donated model/optimizer buffers. Single-device (the eager loop remains
-    the mesh path).
+    donated model/optimizer buffers.
+
+    With ``mesh``, the in-scan batch is sharding-constrained along the data
+    axis (bank/params replicated): the scan body is the same DP step XLA
+    compiles for the eager mesh path — gradients all-reduce inside the scan.
     """
     loss_fn = make_loss_fn(cfg, training=True)
     tx = make_optimizer(lr)
@@ -146,6 +150,11 @@ def make_scanned_epoch(cfg: Config, lr: float, n_steps: int, sample_fn):
             params, mstate, opt_state = carry
             batch = sample_fn(bank, starts, valids,
                               jax.random.fold_in(data_key, step0 + i))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                data = NamedSharding(mesh, P(mesh.axis_names, None, None))
+                batch = {k: jax.lax.with_sharding_constraint(v, data)
+                         for k, v in batch.items()}
             rng = jax.random.fold_in(step_rng, step0 + i)
             (loss, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, mstate, batch, rng)
@@ -157,7 +166,12 @@ def make_scanned_epoch(cfg: Config, lr: float, n_steps: int, sample_fn):
             body, (params, mstate, opt_state), jnp.arange(n_steps))
         return params, mstate, opt_state, losses
 
-    return jax.jit(epoch, donate_argnums=(0, 1, 2))
+    if mesh is None:
+        return jax.jit(epoch, donate_argnums=(0, 1, 2))
+    rep, _ = _shardings(mesh)
+    return jax.jit(epoch, donate_argnums=(0, 1, 2),
+                   in_shardings=(rep,) * 6 + (rep, rep, None),
+                   out_shardings=(rep, rep, rep, rep))
 
 
 def make_eval_step(cfg: Config, mesh: Optional[jax.sharding.Mesh] = None):
