@@ -86,6 +86,11 @@ class DeviceBank:
     def nbytes(self) -> int:
         return int(self._bank.size) * 2
 
+    @property
+    def arrays(self):
+        """(bank, starts, valids) device arrays — the sampler's inputs."""
+        return self._bank, self._starts, self._valids
+
     def _build_sampler(self, jit: bool = True):
         cfg = self.cfg
         S = cfg.num_sources

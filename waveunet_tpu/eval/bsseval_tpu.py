@@ -219,6 +219,8 @@ def bss_eval_framewise_tpu(references: np.ndarray, estimates: np.ndarray,
         kern = jax.jit(vkern)
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        # the sharded window axis must divide evenly over the mesh
+        window_batch = -(-window_batch // mesh.size) * mesh.size
         data = NamedSharding(mesh, P(mesh.axis_names))
         kern = jax.jit(vkern, in_shardings=(data, data), out_shardings=data)
 

@@ -257,9 +257,12 @@ class Separator:
             # are PCM16 regardless). Native C++ kernel when built.
             from waveunet_tpu.runtime import native
             padded = native.quantize_int16(padded)
-        use_slabs = self._h2d_mode == "slabs" or (
-            self._h2d_mode is None and self.mesh is None and len(sizes) >= 2
-            and 3 * (self.in_len - self.out_len) <= bs * self.out_len)
+        # Slabs are a single-device strategy (slab arrays are not
+        # mesh-placed); with a mesh the song ships once, replicated.
+        use_slabs = self.mesh is None and (
+            self._h2d_mode == "slabs" or (
+                self._h2d_mode is None and len(sizes) >= 2
+                and 3 * (self.in_len - self.out_len) <= bs * self.out_len))
 
         futures = []
         offsets = np.concatenate([[0], np.cumsum(sizes)])

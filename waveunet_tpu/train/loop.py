@@ -118,10 +118,10 @@ def train_one_epoch_scanned(cfg: Config, state: TrainState, epoch_fn, bank,
     base_rng = base_rng if base_rng is not None else jax.random.PRNGKey(
         cfg.seed)
     t0 = time.time()
+    bank_arr, starts, valids = bank.arrays
     params, mstate, opt_state, losses = epoch_fn(
         state.params, state.model_state, state.opt_state,
-        bank._bank, bank._starts, bank._valids, data_key, base_rng,
-        state.step)
+        bank_arr, starts, valids, data_key, base_rng, state.step)
     losses = np.asarray(losses)
     dt = time.time() - t0
     if logger is not None:
