@@ -203,3 +203,22 @@ def test_slab_mode_matches_song_mode_int16_wire(rng):
         audio, cfg.expected_sr)
     for s in cfg.source_names:
         np.testing.assert_array_equal(slabs[s], song[s], err_msg=s)
+
+
+def test_precompile_covers_chunk_programs(rng):
+    """precompile() exercises every pow2 chunk size in both H2D modes; a
+    following separate() of an awkward window count introduces no new
+    program shapes (asserted via the engine's own dispatch path)."""
+    cfg = get_config("baseline_context", num_layers=3, num_frames=256,
+                     infer_batch=4)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    sep = Separator(cfg, params)
+    _, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    n = sep.precompile(max_song_s=(Separator._LEN_BUCKET - 2 * sep.pad - 1)
+                       / cfg.expected_sr)
+    # 1 bucket x (1,2,4) song-mode + (1,2,4) slab-mode
+    assert n == 6
+    audio = (0.1 * rng.standard_normal((out_len * 7 + 5, 1))
+             ).astype(np.float32)  # 7 windows -> chunks of 4, 2, 1
+    out = sep.separate(audio, cfg.expected_sr)
+    assert out[cfg.source_names[0]].shape[0] == audio.shape[0]

@@ -159,7 +159,7 @@ def cmd_evaluate(args):
                    max_tracks=(int(opts["max_tracks"])
                                if "max_tracks" in opts else None),
                    win_s=float(opts.get("win_s", 1.0)),
-                   tpu_bss=opts.get("tpu_bss", "0") in ("1", "true"))
+                   tpu_bss=opts.get("tpu_bss", "0").lower() in ("1", "true"))
 
 
 def cmd_prepare_data(args):
@@ -203,28 +203,19 @@ def cmd_warmup(args):
     """Precompile the inference programs for a preset (all standard length
     buckets) into the persistent XLA cache, so serving cold-starts are fast."""
     _setup_jax()
-    import jax
-    import numpy as np
-
     from waveunet_tpu.config import config_from_cli
     from waveunet_tpu.infer.engine import Separator
-    from waveunet_tpu.models.waveunet import init_waveunet
 
     cfg_frags, opts = _split_args(args)
     cfg = config_from_cli(cfg_frags)
     params, model_state = _load_params(cfg, opts.get("checkpoint"))
     sep = Separator(cfg, params, model_state=model_state)
-    # one song per length bucket up to ~6 minutes
-    sr = cfg.expected_sr
-    bucket = Separator._LEN_BUCKET
-    max_len = int(6 * 60 * sr)
-    n = bucket - 2 * sep.pad - 1
-    while n < max_len:
-        audio = np.zeros((max(n, sep.out_len), cfg.num_channels), np.float32)
-        print(f"compiling bucket for {audio.shape[0] / sr:.0f} s songs...")
-        sep.separate(audio, sr)
-        n += bucket
-    print("warmup complete; compiled programs persisted to the XLA cache")
+    # every (length bucket x pow2 chunk size x H2D mode) program a real song
+    # can hit — split-tail batching means tails come in pow2 sizes, not just
+    # the full batch
+    n = sep.precompile(max_song_s=6 * 60.0)
+    print(f"warmup complete; {n} programs exercised and persisted to the "
+          f"XLA cache")
 
 
 def cmd_stream(args):
@@ -256,6 +247,16 @@ def cmd_stream(args):
     stream = StreamingSeparator(cfg, params,
                                 batch_windows=int(opts.get("batch_windows",
                                                            "8")))
+    # Warm up: compile the append bucket for this chunk size and every drain
+    # batch bucket BEFORE timing (first compiles cost minutes on the remote
+    # compiler and would swamp the reported serving throughput).
+    warm = np.zeros((chunk, audio.shape[1]), np.float32)
+    warm_pushes = (stream.latency_samples // chunk + 2
+                   + stream.batch * stream.out_len // max(chunk, 1))
+    for _ in range(warm_pushes):
+        stream.push(warm)
+    stream.flush()
+    stream.reset()
     outs = {s: [] for s in cfg.source_names}
     t0 = time.perf_counter()
     for i in range(0, audio.shape[0], chunk):
@@ -266,10 +267,10 @@ def cmd_stream(args):
     dt = time.perf_counter() - t0
     seconds = audio.shape[0] / cfg.expected_sr
     print(f"streamed {seconds:.1f} s in {dt:.2f} s "
-          f"({seconds / dt:.1f} audio-s/s; algorithmic latency "
+          f"({seconds / dt:.1f} audio-s/s warm; algorithmic latency "
           f"{stream.latency_samples / cfg.expected_sr * 1000:.0f} ms)")
     folder, fname = os.path.split(opts["input_path"])
-    out_dir = opts.get("output_path", folder)
+    out_dir = opts.get("output_path") or folder or "."
     os.makedirs(out_dir, exist_ok=True)
     for s, v in outs.items():
         path = os.path.join(out_dir, f"{fname}_{s}_stream.wav")

@@ -49,14 +49,7 @@ from typing import Dict
 
 import numpy as np
 
-FILTER_LEN = 512
-
-
-def _nfft_for(n: int) -> int:
-    nfft = 1
-    while nfft < 2 * n:
-        nfft *= 2
-    return nfft
+from waveunet_tpu.eval.bsseval import FILTER_LEN, _nfft_for  # noqa: E402
 
 
 @functools.lru_cache(maxsize=8)
@@ -188,6 +181,21 @@ def _window_kernel(refs, ests, L: int, nfft: int, refine_iters: int):
     return out.T                                                  # [4, S]
 
 
+@functools.lru_cache(maxsize=16)
+def _get_kernel(filter_len: int, nfft: int, refine_iters: int, mesh):
+    """One jitted window kernel per (L, nfft, refine, mesh) — rebuilt wrappers
+    would discard JAX's executable cache between tracks of a dataset eval."""
+    import jax
+
+    vkern = jax.vmap(functools.partial(
+        _window_kernel, L=filter_len, nfft=nfft, refine_iters=refine_iters))
+    if mesh is None:
+        return jax.jit(vkern)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    data = NamedSharding(mesh, P(mesh.axis_names))
+    return jax.jit(vkern, in_shardings=(data, data), out_shardings=data)
+
+
 def bss_eval_framewise_tpu(references: np.ndarray, estimates: np.ndarray,
                            rate: int, win_s: float = 1.0, hop_s: float = 1.0,
                            filter_len: int = FILTER_LEN,
@@ -212,17 +220,10 @@ def bss_eval_framewise_tpu(references: np.ndarray, estimates: np.ndarray,
     starts = np.arange(0, max(n - win + 1, 1), hop)
     nfft = _nfft_for(win)
 
-    vkern = jax.vmap(functools.partial(
-        _window_kernel, L=filter_len, nfft=nfft,
-        refine_iters=refine_iters))
-    if mesh is None:
-        kern = jax.jit(vkern)
-    else:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    if mesh is not None:
         # the sharded window axis must divide evenly over the mesh
         window_batch = -(-window_batch // mesh.size) * mesh.size
-        data = NamedSharding(mesh, P(mesh.axis_names))
-        kern = jax.jit(vkern, in_shardings=(data, data), out_shardings=data)
+    kern = _get_kernel(filter_len, nfft, refine_iters, mesh)
 
     out = {k: np.full((S, len(starts)), np.nan)
            for k in ("SDR", "ISR", "SIR", "SAR")}

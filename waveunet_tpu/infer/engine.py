@@ -158,6 +158,46 @@ class Separator:
             self._fwd = jax.jit(chunk_fwd)
             self._song_sharding = None
 
+    def precompile(self, max_song_s: float = 6 * 60.0) -> int:
+        """Compile EVERY program a real song can hit — all pow2 chunk sizes
+        (split-tail batching) x both H2D modes x every song-length bucket up
+        to ``max_song_s`` — into the persistent XLA cache. Serving/eval then
+        never stalls on the remote compiler (minutes per shape here).
+        Returns the number of programs exercised."""
+        wire16 = self.cfg.infer_wire_dtype == "int16"
+        dt = jnp.int16 if wire16 else jnp.float32
+        n_ch = self.cfg.num_channels
+        ks = []
+        k = 1
+        while k < self.batch:
+            ks.append(k)
+            k *= 2
+        ks.append(self.batch)
+        if self.mesh is not None:
+            ks = [self.batch]  # mesh tails stay full-batch (shard-divisible)
+        count = 0
+        # song-mode programs: one per length bucket; chunk programs retrace
+        # per positions length only, so any bucketed song length serves
+        n_buckets = -(-int(max_song_s * self.cfg.expected_sr
+                           + 2 * self.pad) // self._LEN_BUCKET)
+        for b in range(1, n_buckets + 1):
+            song = jnp.zeros((b * self._LEN_BUCKET, n_ch), dt)
+            if self._song_sharding is not None:
+                song = jax.device_put(song, self._song_sharding)
+            for k in ks:
+                jax.block_until_ready(
+                    self._fwd(self.params, song, jnp.zeros((k,), jnp.int32)))
+                count += 1
+        # slab-mode programs (single-device auto/explicit path)
+        if self.mesh is None:
+            for k in ks:
+                slab = jnp.zeros(((k - 1) * self.out_len + self.in_len, n_ch),
+                                 dt)
+                jax.block_until_ready(
+                    self._fwd(self.params, slab, jnp.zeros((k,), jnp.int32)))
+                count += 1
+        return count
+
     # -- full-song separation -------------------------------------------------
     def separate(self, mix_audio: np.ndarray, mix_sr: int) -> Dict[str, np.ndarray]:
         """Separate (n_frames, n_channels) audio; returns sources at the model's
@@ -224,11 +264,7 @@ class Separator:
         rem = n_win % bs
         if rem:
             if self.mesh is None:
-                def pow2ceil(v):
-                    b = 1
-                    while b < v:
-                        b *= 2
-                    return b
+                from waveunet_tpu.ops.shapes import pow2_ceil as pow2ceil
                 single = min(pow2ceil(rem), bs)
                 lo = 1 << (rem.bit_length() - 1)  # largest pow2 <= rem
                 if rem > lo and lo + pow2ceil(rem - lo) < single:
@@ -342,7 +378,7 @@ def separate_file(cfg: Config, params, input_path: str,
     preds = sep.separate(audio, sr)
 
     folder, fname = os.path.split(input_path)
-    out_dir = output_path or folder
+    out_dir = output_path or folder or "."
     os.makedirs(out_dir, exist_ok=True)
     written = {}
     for name, est in preds.items():

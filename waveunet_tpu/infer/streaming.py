@@ -40,13 +40,9 @@ import numpy as np
 from waveunet_tpu.config import Config
 from waveunet_tpu.models.waveunet import apply_waveunet
 from waveunet_tpu.ops import shapes
+from waveunet_tpu.ops.shapes import pow2_ceil as _pow2_ceil
 
 
-def _pow2_ceil(n: int) -> int:
-    b = 1
-    while b < n:
-        b *= 2
-    return b
 
 
 class StreamingSeparator:

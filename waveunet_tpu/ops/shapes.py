@@ -143,3 +143,11 @@ def context_pad(cfg: Config, num_frames: int) -> int:
     """
     inp, out = get_padding(cfg, num_frames)
     return (inp - out) // 2
+
+
+def pow2_ceil(n: int) -> int:
+    """Smallest power of two >= n (shape-bucketing helper)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
