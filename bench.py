@@ -68,7 +68,8 @@ def main():
     # (the host<->device tunnel in this environment has ±30-50% contention
     # noise; best-of-N isolates the engine from the shared link).
     sep.separate(song, sr)
-    elapsed = min(_timed(sep, song, sr) for _ in range(6))
+    times = sorted(_timed(sep, song, sr) for _ in range(6))
+    elapsed = times[0]
     rtf = seconds / elapsed
 
     # Live compute roof: the bare jitted forward on device-resident windows,
@@ -117,6 +118,7 @@ def main():
         "n_devices": jax.device_count(),
         "song_seconds": seconds,
         "elapsed_s": round(elapsed, 4),
+        "elapsed_median_s": round(times[len(times) // 2], 4),
         "infer_num_frames": cfg.infer_num_frames,
         "compute_roof_audio_s_per_s": round(roof, 1),
     }))

@@ -118,3 +118,12 @@ def test_stream_cmd(tmp_path):
         out, osr = load(str(tmp_path / f"song.wav_{s}_stream.wav"), sr=None,
                         mono=False)
         assert osr == sr and out.shape[0] == n
+
+
+def test_warmup_cmd(tmp_path):
+    """warmup precompiles every chunk program (pow2 tails x H2D modes)."""
+    r = _run_cli(["warmup", "baseline", "num_layers=2", "num_frames=256",
+                  "num_initial_filters=4", "infer_batch=4", "max_song_s=5"],
+                 str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "programs exercised" in r.stdout

@@ -38,7 +38,8 @@ def _split_args(args: List[str]) -> Tuple[List[str], Dict[str, str]]:
     """Split CLI fragments into config fragments and CLI-local options."""
     cli_keys = {"input_path", "output_path", "checkpoint", "subset",
                 "experiment_id", "max_epochs", "win_s", "max_tracks",
-                "final_eval", "tpu_bss", "chunk_ms", "batch_windows"}
+                "final_eval", "tpu_bss", "chunk_ms", "batch_windows",
+                "max_song_s"}
     cfg_frags, opts = [], {}
     for a in args:
         if "=" in a:
@@ -213,7 +214,7 @@ def cmd_warmup(args):
     # every (length bucket x pow2 chunk size x H2D mode) program a real song
     # can hit — split-tail batching means tails come in pow2 sizes, not just
     # the full batch
-    n = sep.precompile(max_song_s=6 * 60.0)
+    n = sep.precompile(max_song_s=float(opts.get("max_song_s", 6 * 60.0)))
     print(f"warmup complete; {n} programs exercised and persisted to the "
           f"XLA cache")
 
