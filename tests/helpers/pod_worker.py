@@ -58,6 +58,17 @@ def main():
     ev = make_eval_step(cfg, mesh=mesh)
     loss = float(ev(params, {}, glob))
 
+    # Full sharded TRAIN step across processes: the gradient all-reduce rides
+    # the cross-process collective backend (gloo here, ICI/DCN on pods).
+    from waveunet_tpu.train.step import make_train_step
+    init_opt, step = make_train_step(cfg, 1e-4, mesh=mesh)
+    p2, _, _, train_loss = step(params, {}, init_opt(params), glob,
+                                jax.random.PRNGKey(0))
+    # every host must hold identical replicated params after the update
+    param_digest = float(sum(
+        np.abs(np.asarray(v)).sum()
+        for v in jax.tree_util.tree_leaves(p2)))
+
     print(json.dumps({
         "pid": pid,
         "procs": jax.process_count(),
@@ -66,6 +77,8 @@ def main():
         "slice": [sl.start, sl.stop],
         "digest": float(np.abs(local["mix"]).sum()),
         "loss": loss,
+        "train_loss": float(train_loss),
+        "param_digest": param_digest,
     }), flush=True)
     jax.distributed.shutdown()
 

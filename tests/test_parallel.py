@@ -151,6 +151,11 @@ def test_pod_two_processes(tmp_path):
     assert by_pid[0]["digest"] != by_pid[1]["digest"]
     # the jitted loss is a cross-process collective: all hosts see one value
     assert by_pid[0]["loss"] == by_pid[1]["loss"]
+    # the TRAIN step's gradient all-reduce ran across processes: both hosts
+    # hold the same finite loss and identical replicated post-update params
+    assert by_pid[0]["train_loss"] == by_pid[1]["train_loss"]
+    assert np.isfinite(by_pid[0]["train_loss"])
+    assert by_pid[0]["param_digest"] == by_pid[1]["param_digest"]
 
     # single-process oracle: concat the two host shards, eval on one device
     in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
