@@ -126,3 +126,35 @@ def test_spectrogram_frame_divisibility_validated():
                                                      u7.num_frames)
     with pytest.raises(ValueError, match="STFT frames"):
         shapes.get_padding(u7, 768 * 100 + 1024)  # 101 frames, not /64
+
+
+def test_auto_infer_frames():
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.ops.shapes import auto_infer_frames, get_padding
+
+    cfg = get_config("full_44KHz")
+    frames = auto_infer_frames(cfg)
+    assert frames == 65536  # the measured/tuned window (DESIGN.md)
+    in_len, out_len = get_padding(cfg, frames)
+    assert in_len / out_len <= 3.0
+    # half the window would exceed the overlap bound
+    i2, o2 = get_padding(cfg, frames // 2)
+    assert i2 / o2 > 3.0
+    # non-context models pass through
+    ncfg = get_config("baseline")
+    assert auto_infer_frames(ncfg) == ncfg.num_frames
+
+
+def test_engine_accepts_auto_window():
+    import jax
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.infer.engine import Separator
+    from waveunet_tpu.models.waveunet import init_waveunet
+    from waveunet_tpu.ops.shapes import auto_infer_frames, get_padding
+
+    cfg = get_config("baseline_context", num_layers=3, num_frames=256,
+                     infer_num_frames=-1)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    sep = Separator(cfg, params)
+    want_in, want_out = get_padding(cfg, auto_infer_frames(cfg))
+    assert (sep.in_len, sep.out_len) == (want_in, want_out)

@@ -68,6 +68,8 @@ class Separator:
         self.cfg = cfg
         self.params = params
         frames = cfg.infer_num_frames or cfg.num_frames
+        if frames == -1:  # auto: tuned large window (overlap <= 3x)
+            frames = shapes.auto_infer_frames(cfg)
         self.in_len, self.out_len = shapes.get_padding(cfg, frames)
         self.pad = (self.in_len - self.out_len) // 2
         self.mesh = mesh

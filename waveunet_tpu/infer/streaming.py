@@ -49,6 +49,8 @@ class StreamingSeparator:
     def __init__(self, cfg: Config, params, batch_windows: int = 1):
         self.cfg = cfg
         frames = cfg.infer_num_frames or cfg.num_frames
+        if frames == -1:  # auto-tuned window (see ops/shapes.auto_infer_frames)
+            frames = shapes.auto_infer_frames(cfg)
         self.in_len, self.out_len = shapes.get_padding(cfg, frames)
         self.pad = (self.in_len - self.out_len) // 2
         self.batch = max(1, batch_windows)
