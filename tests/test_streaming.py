@@ -107,3 +107,32 @@ def test_batched_stream_batches_dispatches(setup):
     stream.flush()
     assert max(calls) > 1, f"expected batched dispatches, got {calls}"
     assert all(k in (1, 2, 4) for k in calls), calls
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_stream_fuzz_random_chunks(setup, seed):
+    """Randomised chunk-size sequences (1..3x max_piece, incl. size-1 pushes)
+    drive the device ring buffer through every append/drain interleaving;
+    output must equal offline separation wherever full context exists."""
+    cfg, params, audio = setup
+    stream = StreamingSeparator(cfg, params, batch_windows=3)
+    rng = np.random.default_rng(seed)
+    offline = Separator(cfg, params).separate(audio, cfg.expected_sr)
+
+    got = {s: [] for s in cfg.source_names}
+    i = 0
+    while i < audio.shape[0]:
+        n = int(rng.integers(1, 3 * stream._max_piece))
+        out = stream.push(audio[i:i + n])
+        for s, v in out.items():
+            got[s].append(v)
+        i += n
+    for s, v in stream.flush().items():
+        got[s].append(v)
+    got = {s: np.concatenate(v) for s, v in got.items()}
+
+    n_cmp = audio.shape[0] - stream.out_len
+    for s in cfg.source_names:
+        assert got[s].shape[0] == audio.shape[0]
+        np.testing.assert_allclose(got[s][:n_cmp], offline[s][:n_cmp],
+                                   atol=1e-5, err_msg=s)
