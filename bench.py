@@ -45,10 +45,10 @@ def main():
     from waveunet_tpu.ops import shapes
 
     # infer_num_frames=65536 trades the 9.0x valid-conv context overlap at the
-    # training window for 3.0x: measured compute roof 969 audio-s/s/chip and
-    # the best tunnel e2e of the swept (window, batch) grid (DESIGN.md perf
-    # table; 131072@8 roofs higher at 1035 but e2e's pipelining favours 16
-    # smaller chunks on this host link).
+    # training window for 3.0x: measured compute roof 1060 audio-s/s/chip
+    # (dilate decimation lowering) and the best tunnel e2e of the swept
+    # (window, batch) grid (DESIGN.md perf table; 262144@16 roofs higher at
+    # 1391 but e2e's pipelining favours 16 smaller chunks on this host link).
     cfg = get_config("full_44KHz", infer_num_frames=65536, infer_batch=16,
                      infer_wire_dtype="int16")
     in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)

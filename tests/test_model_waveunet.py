@@ -157,3 +157,56 @@ def test_bf16_forward_parity_and_train_grad():
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(v)).all()
                for v in jax.tree_util.tree_leaves(p))
+
+
+@pytest.mark.parametrize("kw", [
+    # context (valid convs), learned upsampling, difference — flagship shape
+    dict(preset="full", num_layers=3, num_frames=512, num_initial_filters=8),
+    # same-padding, odd intermediate lengths (100 -> 50 -> 25)
+    dict(preset="baseline", num_layers=2, num_frames=100,
+         num_initial_filters=6),
+    # same-padding deeper, even lengths
+    dict(preset="baseline_diff", num_layers=3, num_frames=512,
+         num_initial_filters=8),
+])
+def test_decimate_lowering_parity(kw, rng):
+    """decimate_lowering="dilate" (stride-2 + dilation-2 conv, the default)
+    is bit-compatible with the literal strided-slice formulation of the
+    reference (`UnetAudioSeparator.py:100`) in BOTH padding modes, including
+    odd intermediate lengths, for forward AND gradients."""
+    kw = dict(kw)
+    cfg = get_config(kw.pop("preset"), **kw)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    params = wu.init_waveunet(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray((0.3 * rng.standard_normal(
+        (2, in_len, cfg.num_channels))).astype(np.float32))
+
+    y_dil = wu.apply_waveunet(params, cfg.replace(decimate_lowering="dilate"),
+                              x, training=False)
+    y_sli = wu.apply_waveunet(params, cfg.replace(decimate_lowering="slice"),
+                              x, training=False)
+    for s in cfg.source_names:
+        np.testing.assert_allclose(np.asarray(y_dil[s]), np.asarray(y_sli[s]),
+                                   atol=1e-6, err_msg=s)
+
+    # gradient parity (training path differentiates through the dilated conv)
+    tgt = {s: jnp.asarray((0.1 * rng.standard_normal(
+        (2, out_len, cfg.num_channels))).astype(np.float32))
+        for s in cfg.source_names}
+
+    def loss(p, lowering):
+        out = wu.apply_waveunet(p, cfg.replace(decimate_lowering=lowering),
+                                x, training=True)
+        return sum(jnp.mean(jnp.square(out[s] - tgt[s]))
+                   for s in cfg.source_names)
+
+    g_dil = jax.grad(lambda p: loss(p, "dilate"))(params)
+    g_sli = jax.grad(lambda p: loss(p, "slice"))(params)
+    paths_a, leaves_a = zip(*[(jax.tree_util.keystr(k), v) for k, v in
+                              jax.tree_util.tree_leaves_with_path(g_dil)])
+    paths_b, leaves_b = zip(*[(jax.tree_util.keystr(k), v) for k, v in
+                              jax.tree_util.tree_leaves_with_path(g_sli)])
+    assert paths_a == paths_b
+    for pth, va, vb in zip(paths_a, leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=2e-6,
+                                   err_msg=pth)

@@ -10,6 +10,7 @@ Usage:
   python tools/perf_probe.py roof  <num_frames> <batch> <fp32|bf16> [out.jsonl]
   python tools/perf_probe.py e2e   <num_frames> <batch> <fp32|bf16> [out.jsonl]
   python tools/perf_probe.py train <num_frames> <batch> <fp32|bf16> [out.jsonl]
+  python tools/perf_probe.py scan  <num_frames> <batch> <fp32|bf16> [out.jsonl]
 
 The `roof` mode times the bare jitted forward (no transfers): the number the
 inference engine approaches when the host link is not the bottleneck
@@ -43,13 +44,17 @@ def main():
     from waveunet_tpu.models.waveunet import apply_waveunet, init_waveunet
     from waveunet_tpu.ops import shapes
 
+    # dtype arg accepts an optional lowering suffix, e.g. "fp32-slice"
+    dtype, _, lowering = dtype.partition("-")
     compute_dtype = "bfloat16" if dtype == "bf16" else "float32"
-    cfg = get_config("full_44KHz", compute_dtype=compute_dtype)
+    cfg = get_config("full_44KHz", compute_dtype=compute_dtype,
+                     decimate_lowering=lowering or "dilate")
     in_len, out_len = shapes.get_padding(cfg, frames)
     sr = cfg.expected_sr
     params = init_waveunet(jax.random.PRNGKey(0), cfg)
     rec = {"mode": mode, "frames": frames, "in_len": in_len,
            "out_len": out_len, "batch": batch, "dtype": dtype,
+           "lowering": cfg.decimate_lowering,
            "platform": jax.devices()[0].platform}
 
     if mode == "roof":
@@ -135,6 +140,60 @@ def main():
             times.append(time.perf_counter() - t0)
         rec["step_ms"] = round(min(times) * 1e3, 3)
         rec["steps_per_s"] = round(1.0 / min(times), 2)
+
+    elif mode == "scan":
+        # Scanned-epoch steady state: lax.scan over (bank sample -> step),
+        # synthetic device bank, N_STEPS per dispatch (train/loop.py default
+        # path). steps/s here is what a real epoch(2000) runs at.
+        from waveunet_tpu.train.step import make_scanned_epoch, make_train_step
+        tcfg = cfg.replace(num_frames=frames, batch_size=batch)
+        t_in, t_out = shapes.get_padding(tcfg, frames)
+        S = tcfg.num_sources
+        rng = np.random.default_rng(0)
+        bank = jnp.asarray((np.clip(rng.standard_normal(
+            (S, 8 * t_in, tcfg.num_channels)) * 0.1, -1, 1)
+            * 32767).astype(np.int16))
+        starts = jnp.asarray(np.array([0, 4 * t_in], np.int32))
+        valids = jnp.asarray(np.array([3 * t_in, 3 * t_in], np.int32))
+
+        def sample_fn(bk, st, va, key):
+            k1, k2 = jax.random.split(key)
+            song = jax.random.randint(k1, (batch,), 0, st.shape[0])
+            frac = jax.random.uniform(k2, (batch,))
+            pos = st[song] + (frac * va[song].astype(jnp.float32)
+                              ).astype(jnp.int32)
+            wins = jax.vmap(lambda p: jax.lax.dynamic_slice(
+                bk, (0, p, 0), (S, t_in, tcfg.num_channels)))(pos)
+            wins = wins.astype(jnp.float32) / 32767.0
+            pad = (t_in - t_out) // 2
+            tgt = wins[:, :, pad:pad + t_out, :]
+            b = {n: tgt[:, i] for i, n in enumerate(tcfg.source_names)}
+            b["mix"] = jnp.sum(wins, axis=1)
+            return b
+
+        n_steps = 50
+        epoch_fn = make_scanned_epoch(tcfg, 1e-4, n_steps, sample_fn)
+        init_opt, _ = make_train_step(tcfg, 1e-4)
+        opt_state = init_opt(params)
+        mstate = {}
+
+        def run(p, ms, os_):
+            p, ms, os_, losses = epoch_fn(p, ms, os_, bank, starts, valids,
+                                          jax.random.PRNGKey(1),
+                                          jax.random.PRNGKey(2), 0)
+            jax.block_until_ready(losses)
+            return p, ms, os_
+
+        t0 = time.perf_counter()
+        params, mstate, opt_state = run(params, mstate, opt_state)
+        rec["first_call_s"] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            params, mstate, opt_state = run(params, mstate, opt_state)
+            times.append(time.perf_counter() - t0)
+        rec["scan_step_ms"] = round(min(times) / n_steps * 1e3, 3)
+        rec["steps_per_s"] = round(n_steps / min(times), 2)
     else:
         raise SystemExit(f"unknown mode {mode}")
 

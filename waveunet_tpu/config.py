@@ -90,6 +90,14 @@ class Config:
     # Saver; the best-validation checkpoint is always kept).
     keep_checkpoints: int = 0
     use_pallas: bool = False  # use hand-written Pallas kernels for hot ops
+    # How the down-path decimation (`UnetAudioSeparator.py:100` x[:, ::2, :])
+    # is lowered. "dilate" folds it into the NEXT conv as stride-2 +
+    # dilation-2 (bit-exact: conv(x[::2]) == dilated-strided conv(x)); XLA's
+    # lowering of convs that consume strided slices devectorises on long
+    # rows, so this is worth +15% forward at the 131072-frame window and
+    # +45% at 262144 on v5e (tools/conv_cliff_probe*.py). "slice" keeps the
+    # literal strided-slice formulation.
+    decimate_lowering: str = "dilate"  # "dilate" | "slice"
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)
     infer_batch: int = 16  # windows per device batch in the inference engine
@@ -119,6 +127,9 @@ class Config:
                 f"unknown output_activation {self.output_activation!r}")
         if self.upsampling not in ("linear", "learned"):
             raise NotImplementedError(f"unknown upsampling {self.upsampling!r}")
+        if self.decimate_lowering not in ("dilate", "slice"):
+            raise NotImplementedError(
+                f"unknown decimate_lowering {self.decimate_lowering!r}")
         srcs = _TASK_SOURCES[self.task]
         object.__setattr__(self, "source_names", srcs)
         object.__setattr__(self, "num_sources", len(srcs))

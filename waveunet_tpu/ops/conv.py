@@ -54,9 +54,12 @@ def conv2d_init(rng, hw: Tuple[int, int], in_ch: int, out_ch: int,
     }
 
 
-def conv1d(x, params, *, padding: str = "VALID", stride: int = 1,
+def conv1d(x, params, *, padding="VALID", stride: int = 1,
            rhs_dilation: int = 1, compute_dtype=None, fp32_accum: bool = True):
     """1-D convolution over [B, W, C] with a TF-layout kernel [w, in, out].
+
+    ``padding`` is "VALID"/"SAME" or an explicit ``[(lo, hi)]`` pair (used by
+    the dilated decimation lowering in ``models/waveunet.py``).
 
     ``compute_dtype`` casts inputs/kernel (e.g. bfloat16 for the MXU).
     ``fp32_accum`` accumulates in float32 via ``preferred_element_type`` —
