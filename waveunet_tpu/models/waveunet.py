@@ -17,8 +17,11 @@ Design notes (TPU-first):
     ``jax.sharding`` and trivially mappable from TF checkpoints.
   * All shapes static; the whole forward jit-compiles into one XLA program where
     LeakyReLU and bias adds fuse into the conv epilogues (MXU-bound).
-  * Decimation stays a strided slice — cheap layout op under XLA; a fused Pallas
-    down-block exists in ``waveunet_tpu.ops.pallas`` for benchmarking.
+  * Decimation lowers (by default) into the next conv as stride-2 + dilation-2
+    instead of a strided slice — bit-exact, and it avoids XLA's devectorised
+    lowering of convs that consume long strided rows (``Config.decimate_lowering``,
+    DESIGN.md §1); a fused Pallas down-block exists in ``waveunet_tpu.ops.pallas``
+    for benchmarking.
 """
 
 from __future__ import annotations
@@ -108,7 +111,9 @@ def apply_waveunet(params: Params, cfg: Config, mix: jnp.ndarray,
     # bit-exact (out[i] = sum_t x[2i+2t]·k[t] == conv(x[::2])[i], identical
     # output length for odd and even L) and measured +15% whole-forward at
     # the 131072-frame window, +45% at 262144 on v5e (tools/conv_cliff_probe*).
-    use_dilate = cfg.decimate_lowering == "dilate" and not use_pallas
+    # (num_layers == 0 has no decimation to fold into the bottleneck conv.)
+    use_dilate = (cfg.decimate_lowering == "dilate" and not use_pallas
+                  and cfg.num_layers > 0)
 
     def conv(x, p, *, stride=1, dil=1):
         # fp32 accumulation at inference; differentiated bf16 convs must run
