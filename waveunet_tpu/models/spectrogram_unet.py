@@ -99,11 +99,11 @@ def apply_spectrogram_unet(params: Dict, cfg: Config, mix: jnp.ndarray,
     L = cfg.num_layers
     spec = stft(mix[..., 0])                      # [B, F, 513]
     mix_mag = jnp.abs(spec)
-    mix_angle = jnp.angle(spec)
     x0 = jnp.log1p(mix_mag)[..., None][:, :, :-1, :]  # [B, F, 512, 1]
 
     new_state: Dict = {}
     mags: Dict[str, jnp.ndarray] = {}
+    masks: Dict[str, jnp.ndarray] = {}
     if training and rng is None:
         rng = jax.random.PRNGKey(0)
     for s in cfg.source_names:
@@ -133,14 +133,20 @@ def apply_spectrogram_unet(params: Dict, cfg: Config, mix: jnp.ndarray,
         mask = jax.nn.sigmoid(
             conv2d_transpose(cur, params[f"{s}/mask"], stride=(2, 2)))
         mask = pad_freqs(mask, mix_mag.shape[2], axis=2, value=0.5)[..., 0]
+        masks[s] = mask
         mags[s] = mix_mag * mask
 
     if return_spectrogram:
         return mags, new_state
 
     audio_out = {}
-    for s, mag in mags.items():
-        src_spec = mag * jnp.exp(1j * mix_angle)
+    for s in cfg.source_names:
+        # Mixture-phase reconstruction (`:100-106`): the reference computes
+        # mag_s * exp(i*angle(spec)); since mag_s = mask * |spec| this is
+        # algebraically mask * spec — same result without the per-bin
+        # angle/complex-exp transcendentals (exact where spec == 0 too:
+        # both forms give 0).
+        src_spec = masks[s] * spec
         audio = istft(src_spec)
         audio_out[s] = audio[..., None]
     return audio_out, new_state
