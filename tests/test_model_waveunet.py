@@ -168,6 +168,17 @@ def test_bf16_forward_parity_and_train_grad():
     # same-padding deeper, even lengths
     dict(preset="baseline_diff", num_layers=3, num_frames=512,
          num_initial_filters=8),
+    # EVEN filter widths: SAME-mode pads are asymmetric (2*lo, 2*hi) —
+    # symmetric pads would sample the odd decimation phase (round-2 review)
+    dict(preset="baseline", num_layers=2, num_frames=100, filter_size=16,
+         merge_filter_size=6, num_initial_filters=6),
+    dict(preset="baseline_diff", num_layers=3, num_frames=512, filter_size=4,
+         num_initial_filters=8),
+    # context mode with an even merge width — the shape walk stays
+    # self-consistent here (even filter_size in context mode does not; see
+    # test_shapes.py::test_context_even_width_raises)
+    dict(preset="full", num_layers=3, num_frames=512, merge_filter_size=6,
+         num_initial_filters=8),
 ])
 def test_decimate_lowering_parity(kw, rng):
     """decimate_lowering="dilate" (stride-2 + dilation-2 conv, the default)

@@ -96,7 +96,10 @@ def test_roundtrip_fuzz_random_architectures():
         try:
             inp, out = shapes.get_padding(cfg, frames)
         except ValueError:
-            continue  # architecture can't produce this output size
+            # architecture can't produce this output size, or the config is
+            # outside the walk's domain (even widths flipping intermediate
+            # parities — rejected by get_padding's consistency gate)
+            continue
         # NB: `out >= frames` is NOT an invariant of the reference math — for
         # even merge filters the ceil'd backward walk can land slightly below
         # the desired frames (e.g. L=2, merge=10, 1718 -> 1715). num_frames is
@@ -104,7 +107,9 @@ def test_roundtrip_fuzz_random_architectures():
         # only that the forward pass reproduces get_padding's output length.
         assert shapes.forward_output_len(cfg, inp) == out
         checked += 1
-    assert checked > 40  # the vast majority of draws must be valid
+    # Most draws must still be valid (even-width draws are the ones the
+    # consistency gate may reject).
+    assert checked > 25
 
 
 def test_same_padding_divisibility_validated():
@@ -158,3 +163,27 @@ def test_engine_accepts_auto_window():
     sep = Separator(cfg, params)
     want_in, want_out = get_padding(cfg, auto_infer_frames(cfg))
     assert (sep.in_len, sep.out_len) == (want_in, want_out)
+
+
+def test_context_even_width_raises():
+    """Even conv widths flip intermediate parities, taking the config outside
+    the reference's inverse shape walk (which models decimation as 2m-1,
+    `UnetAudioSeparator.py:70`); get_padding's consistency gate must reject
+    them instead of returning shapes the network contradicts."""
+    import pytest
+
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.ops.shapes import forward_output_len, get_padding
+
+    for kw in (dict(filter_size=16), dict(filter_size=4),
+               dict(filter_size=5, merge_filter_size=6)):
+        cfg = get_config("full", num_layers=3, num_frames=512,
+                         num_initial_filters=8, **kw)
+        with pytest.raises(ValueError, match="shape algebra"):
+            get_padding(cfg, 512)
+
+    # ...but self-consistent even-width combos stay allowed
+    cfg = get_config("full", num_layers=3, num_frames=512,
+                     num_initial_filters=8, merge_filter_size=6)
+    in_len, out_len = get_padding(cfg, 512)
+    assert forward_output_len(cfg, in_len) == out_len

@@ -100,7 +100,12 @@ def cmd_train(args):
         from waveunet_tpu.eval.harness import evaluate_musdb
         params, model_state = _load_params(cfg, path)
         evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
-                       subset="test", output_path=cfg.estimates_path)
+                       subset="test", output_path=cfg.estimates_path,
+                       max_tracks=(int(opts["max_tracks"])
+                                   if "max_tracks" in opts else None),
+                       win_s=float(opts.get("win_s", 1.0)),
+                       tpu_bss=opts.get("tpu_bss", "0").lower()
+                       in ("1", "true"))
 
 
 def _load_params(cfg, checkpoint):
@@ -238,6 +243,11 @@ def cmd_stream(args):
     if "input_path" not in opts:
         print("stream requires input_path=<audio file>", file=sys.stderr)
         sys.exit(2)
+    if cfg.network != "unet":
+        print("stream supports the time-domain unet models only "
+              "(the spectrogram model has no streaming separator)",
+              file=sys.stderr)
+        sys.exit(2)
     params, _ = _load_params(cfg, opts.get("checkpoint"))
     audio, _sr = load(opts["input_path"], sr=cfg.expected_sr,
                       mono=cfg.mono_downmix)
@@ -248,14 +258,14 @@ def cmd_stream(args):
     stream = StreamingSeparator(cfg, params,
                                 batch_windows=int(opts.get("batch_windows",
                                                            "8")))
-    # Warm up: compile the append bucket for this chunk size and every drain
-    # batch bucket BEFORE timing (first compiles cost minutes on the remote
-    # compiler and would swamp the reported serving throughput).
-    warm = np.zeros((chunk, audio.shape[1]), np.float32)
-    warm_pushes = (stream.latency_samples // chunk + 2
-                   + stream.batch * stream.out_len // max(chunk, 1))
-    for _ in range(warm_pushes):
-        stream.push(warm)
+    # Warm up: replay the EXACT push/flush shape sequence of the timed run
+    # with zeros, so every jit program it can hit (append buckets for the
+    # chunk size AND the shorter final piece, every drain-k bucket, the
+    # flush's zero-append) is compiled before timing — first compiles cost
+    # minutes on the remote compiler and would swamp the reported throughput.
+    for i in range(0, audio.shape[0], chunk):
+        stream.push(np.zeros((min(chunk, audio.shape[0] - i),
+                              audio.shape[1]), np.float32))
     stream.flush()
     stream.reset()
     outs = {s: [] for s in cfg.source_names}

@@ -80,7 +80,7 @@ class DeviceBank:
         self._valids = jnp.asarray(np.asarray(valids, np.int32))
         # raw (traceable) sampler — composable inside larger jitted programs
         # (the scanned-epoch path scans it together with the train step)
-        self.sample_raw = self._build_sampler(jit=False)
+        self.sample_raw = self._build_sampler()
         self._sample = jax.jit(self.sample_raw)
 
     def nbytes(self) -> int:
@@ -91,7 +91,7 @@ class DeviceBank:
         """(bank, starts, valids) device arrays — the sampler's inputs."""
         return self._bank, self._starts, self._valids
 
-    def _build_sampler(self, jit: bool = True):
+    def _build_sampler(self):
         cfg = self.cfg
         S = cfg.num_sources
         in_len, out_len, pad = self.input_len, self.output_len, self.pad
@@ -122,7 +122,7 @@ class DeviceBank:
             batch["mix"] = mix
             return batch
 
-        return jax.jit(sample) if jit else sample
+        return sample
 
     def batches(self, base_key=None):
         """Endless iterator of device-resident training batches."""

@@ -120,10 +120,15 @@ def apply_waveunet(params: Params, cfg: Config, mix: jnp.ndarray,
         # fully in bf16 (see ops/conv.py:conv1d on the transpose-rule limit).
         pad = padding
         if dil > 1 and padding == "SAME":
-            # Explicit pads reproducing SAME-conv-of-decimated-signal: 7
-            # zero samples around x[::2] = 2·(w//2) = w-1 around x.
+            # Explicit pads reproducing SAME-conv-of-decimated-signal: the
+            # SAME pads of the half-rate conv (lo = (w-1)//2, hi = w-1-lo),
+            # doubled into full-rate coordinates. For odd w both are w-1;
+            # for even w the asymmetry matters (2*lo == w-2, 2*hi == w) —
+            # symmetric (w-1, w-1) pads would sample the odd decimation
+            # phase x[1::2] instead.
             w = p["kernel"].shape[0]
-            pad = [(w - 1, w - 1)]
+            lo = (w - 1) // 2
+            pad = [(2 * lo, 2 * (w - 1 - lo))]
         return conv1d(x, p, padding=pad, stride=stride, rhs_dilation=dil,
                       compute_dtype=cdtype, fp32_accum=not training)
 

@@ -96,6 +96,21 @@ def get_padding(cfg: Config, num_frames: int) -> Tuple[int, int]:
             input_len = input_len + cfg.input_filter_size - 1 # first down conv
     output_len = output_len - cfg.output_filter_size + 1
 
+    # Consistency gate: the reference's inverse walk models decimation as
+    # 2m-1 (`:70`), i.e. assumes every pre-decimation map is odd — true for
+    # its odd filter widths, but an even filter width flips intermediate
+    # parities and the walk then disagrees with what the network actually
+    # produces. Fail loudly here instead of handing back shapes that crash
+    # at loss time (round-2 review finding).
+    actual = forward_output_len(cfg, int(input_len))
+    if actual != int(output_len):
+        raise ValueError(
+            f"filter sizes {cfg.input_filter_size}/{cfg.filter_size}/"
+            f"{cfg.merge_filter_size}/{cfg.output_filter_size} are outside "
+            f"the valid-conv shape algebra's domain: get_padding predicts "
+            f"output {int(output_len)} but the network produces {actual} "
+            f"(context=True models need odd conv widths)")
+
     return int(input_len), int(output_len)
 
 
@@ -110,8 +125,10 @@ def forward_output_len(cfg: Config, input_len: int) -> int:
     n = input_len
     skips = []
     for i in range(cfg.num_layers):
-        filt = cfg.input_filter_size if i == 0 else cfg.filter_size
-        n = down_out(n, filt, valid)
+        # The reference GRAPH uses filter_size for every down conv
+        # (`UnetAudioSeparator.py:98`); input_filter_size appears only in its
+        # inverse walk (`:73`), whose extra context the skip crops absorb.
+        n = down_out(n, cfg.filter_size, valid)
         if n < 1:
             raise ValueError("feature map vanished in down path")
         skips.append(n)
