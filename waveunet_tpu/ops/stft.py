@@ -40,10 +40,28 @@ def num_frames(n_samples: int, frame_len: int = FRAME_LEN, hop: int = HOP) -> in
 
 
 def frame_signal(x, frame_len: int = FRAME_LEN, hop: int = HOP):
-    """[..., N] -> [..., F, frame_len] by strided gather (static shapes)."""
+    """[..., N] -> [..., F, frame_len] of hop-strided frames (static shapes).
+
+    Implemented as hop-aligned strips (pad -> reshape -> slice -> concat)
+    instead of an index-matrix gather: frame f is the concatenation of
+    ``ceil(frame_len/hop)`` consecutive hop blocks starting at block f. TPU
+    gathers serialise; the strip form measured 4.3 ms -> ~0 for U7's
+    [8, 128, 1024] framing (tools/u7_stage_probe.py).
+    """
     f = num_frames(x.shape[-1], frame_len, hop)
-    idx = np.arange(f)[:, None] * hop + np.arange(frame_len)[None, :]
-    return x[..., idx]
+    if f == 0:
+        return jnp.zeros(x.shape[:-1] + (0, frame_len), x.dtype)
+    s_count = -(-frame_len // hop)
+    pad_to = hop * (f + s_count - 1)
+    if x.shape[-1] < pad_to:
+        pads = [(0, 0)] * (x.ndim - 1) + [(0, pad_to - x.shape[-1])]
+        x = jnp.pad(x, pads)
+    blocks = x[..., :pad_to].reshape(x.shape[:-1] + (f + s_count - 1, hop))
+    strips = []
+    for s in range(s_count):
+        w = min(hop, frame_len - s * hop)
+        strips.append(blocks[..., s:s + f, :w])
+    return jnp.concatenate(strips, axis=-1) if len(strips) > 1 else strips[0]
 
 
 def stft(x, frame_len: int = FRAME_LEN, hop: int = HOP,
@@ -70,7 +88,7 @@ def _synthesis_window(frame_len: int, hop: int) -> np.ndarray:
         idx = k - m * hop
         ok = (idx >= 0) & (idx < frame_len)
         denom[ok] += w[idx[ok]] ** 2
-    out = np.where(denom > 1e-30, w / denom, 0.0)
+    out = np.divide(w, denom, out=np.zeros_like(w), where=denom > 1e-30)
     return out
 
 
@@ -83,9 +101,28 @@ def istft(spec, frame_len: int = FRAME_LEN, hop: int = HOP,
     frames = frames * w_syn
     f = spec.shape[-2]
     out_len = hop * (f - 1) + frame_len
-    idx = np.arange(f)[:, None] * hop + np.arange(frame_len)[None, :]
-    out = jnp.zeros(spec.shape[:-2] + (out_len,), frames.dtype)
-    return out.at[..., idx].add(frames)
+    # Overlap-add as hop-aligned strips (reshape -> pad -> sum) instead of a
+    # scatter-add: strip s of every frame lands at offset s*hop of its hop
+    # block, and with frame_len <= s_count*hop only strips of DIFFERENT s
+    # ever overlap. TPU scatters serialise; this form measured 5.5 ms -> ~0
+    # for U7's [8, 128, 1024] OLA (tools/u7_stage_probe.py).
+    s_count = -(-frame_len // hop)
+    lead = frames.shape[:-2]
+    out = jnp.zeros(lead + (out_len,), frames.dtype)
+    for s in range(s_count):
+        w = min(hop, frame_len - s * hop)
+        strip = frames[..., s * hop:s * hop + w]
+        if w < hop:
+            pads = [(0, 0)] * (strip.ndim - 1) + [(0, hop - w)]
+            strip = jnp.pad(strip, pads)
+        flat = strip.reshape(lead + (f * hop,))
+        end = s * hop + f * hop
+        if end > out_len:
+            flat = flat[..., :out_len - s * hop]
+            end = out_len
+        pads = [(0, 0)] * (flat.ndim - 1) + [(s * hop, out_len - end)]
+        out = out + jnp.pad(flat, pads)
+    return out
 
 
 def griffin_lim(magnitude: np.ndarray, frame_len: int = FRAME_LEN,
