@@ -97,3 +97,27 @@ def test_tpu_bsseval_on_mesh_matches_single_device():
     for k in ("SDR", "ISR", "SIR", "SAR"):
         np.testing.assert_allclose(multi[k], single[k], atol=1e-3, rtol=1e-4,
                                     err_msg=k)
+
+
+def test_tpu_silent_estimate_nonfinite_matches_host():
+    """A silent ESTIMATE makes several metric denominators exactly zero; the
+    device path must reproduce the host's inf/nan semantics instead of
+    clamping to finite dB (round-2 review finding)."""
+    rate = 512
+    rng = np.random.default_rng(6)
+    refs, ests = _mix_case(rng, S=2, n=2 * rate, C=1)
+    ests[1] = 0.0
+    dev = bss_eval_framewise_tpu(refs, ests, rate=rate, filter_len=32)
+    host = bss_eval_framewise(refs, ests, rate=rate, filter_len=32)
+    for k in ("SDR", "ISR", "SIR", "SAR"):
+        h, d = host[k][1], dev[k][1]
+        np.testing.assert_array_equal(np.isnan(h), np.isnan(d), err_msg=k)
+        np.testing.assert_array_equal(np.isposinf(h), np.isposinf(d),
+                                      err_msg=k)
+        np.testing.assert_array_equal(np.isneginf(h), np.isneginf(d),
+                                      err_msg=k)
+        fin = np.isfinite(h)
+        np.testing.assert_allclose(d[fin], h[fin], atol=0.01, rtol=1e-4,
+                                   err_msg=k)
+    _assert_close({k: host[k][:1] for k in host},
+                  {k: dev[k][:1] for k in dev})

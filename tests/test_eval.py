@@ -202,3 +202,45 @@ def test_harness_resume_skips_scored_tracks(tmp_path, rng, capsys):
     out = capsys.readouterr().out
     assert "Skipping songR" in out
     assert len(stats) == 2  # aggregation still sees the existing JSON
+
+
+def test_aggregate_pools_by_name_not_position(tmp_path):
+    """Tracks with different target sets/orders must pool by NAME; the first
+    JSON having fewer targets used to IndexError and order differences
+    cross-contaminated sources (round-2 review finding)."""
+    one = {"vocals": {k: np.array([1.0, 3.0]) for k in
+                      ("SDR", "ISR", "SIR", "SAR")}}
+    two = {"accompaniment": {k: np.array([10.0]) for k in
+                             ("SDR", "ISR", "SIR", "SAR")},
+           "vocals": {k: np.array([5.0]) for k in
+                      ("SDR", "ISR", "SIR", "SAR")}}
+    write_track_json(str(tmp_path / "a.json"), "a", one)  # sorts first
+    write_track_json(str(tmp_path / "b.json"), "b", two)
+    stats, names = compute_mean_metrics(str(tmp_path), return_names=True)
+    by_name = dict(zip(names, stats))
+    assert set(names) == {"vocals", "accompaniment"}
+    np.testing.assert_allclose(by_name["vocals"][2], 3.0)  # mean(1, 3, 5)
+    np.testing.assert_allclose(by_name["accompaniment"][2], 10.0)
+
+
+def test_separate_track_stereo_model_mono_track():
+    """A stereo model (mono_downmix=False) fed a mono track returns
+    channel-duplicated estimates; separate_track must downmix them back to
+    the track's channel count so scoring shapes line up (round-2 review)."""
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.eval.harness import separate_track
+
+    cfg = get_config("baseline_stereo", num_layers=2, num_frames=256)
+
+    class FakeSep:
+        def separate(self, mix, rate):
+            assert mix.shape[1] == 1  # the engine itself tiles internally
+            return {s: np.tile(0.5 * mix, [1, 2])
+                    for s in cfg.source_names}
+
+    n = cfg.expected_sr // 4
+    mix = np.linspace(-0.5, 0.5, n, dtype=np.float32)[:, None]
+    out = separate_track(FakeSep(), cfg, mix, cfg.expected_sr)
+    for s, est in out.items():
+        assert est.shape == mix.shape, s
+        np.testing.assert_allclose(est, 0.5 * mix, atol=1e-6)

@@ -49,3 +49,22 @@ def test_device_matches_host():
     assert y_dev.shape == y_host.shape
     # fp32 device accumulation vs fp64 host accumulation over ~270 taps.
     np.testing.assert_allclose(y_dev, y_host, atol=2e-3)
+
+
+def test_device_matches_host_nonzero_group_delay():
+    """Rate pairs whose polyphase plan has c > 0 group-delay compensation —
+    the device path's conv padding must account for the host path's
+    c prepended zeros (+c*p on pad_lo; a sign flip here time-shifts the
+    whole output, round-2 review finding). 22050->44100 has c == 0 and
+    cannot see it."""
+    from waveunet_tpu.ops.resample import _resample_plan
+
+    rng = np.random.default_rng(7)
+    for orig, new in ((48000, 44100), (44100, 8192), (8192, 44100), (2, 3)):
+        assert _resample_plan(4096, orig, new)[4] > 0  # c > 0: covering pair
+        x = rng.standard_normal((4096, 2)).astype(np.float32)
+        y_host = resample(x, orig, new)
+        y_dev = np.asarray(resample_jnp(x, orig, new))
+        assert y_dev.shape == y_host.shape
+        np.testing.assert_allclose(y_dev, y_host, atol=2e-3,
+                                   err_msg=f"{orig}->{new}")

@@ -10,7 +10,7 @@ from __future__ import annotations
 import glob
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
@@ -36,28 +36,34 @@ def write_track_json(path: str, track_name: str, targets: Dict[str, Dict[str, np
 
 
 def compute_mean_metrics(json_folder: str, compute_averages: bool = True,
-                         metric: str = "SDR"):
-    """NaN-aware (median, MAD, mean, SD) per source over all segment frames."""
-    files = glob.glob(os.path.join(json_folder, "*.json"))
-    inst_list: Optional[List[List[float]]] = None
+                         metric: str = "SDR", return_names: bool = False):
+    """NaN-aware (median, MAD, mean, SD) per source over all segment frames.
+
+    Sources are pooled by target NAME (first-seen order), not by position —
+    positional pooling (the reference's approach, `Evaluate.py:208-227`)
+    silently cross-contaminates sources when tracks carry different target
+    sets or orders (round-2 review finding). ``return_names=True``
+    additionally returns the source-name list aligned with the result.
+    """
+    files = sorted(glob.glob(os.path.join(json_folder, "*.json")))
+    inst: Dict[str, List[float]] = {}
     for path in files:
         if path.endswith("test.json"):
             continue
         with open(path) as f:
             js = json.load(f)
-        targets = js.get("targets", [])
-        if inst_list is None:
-            inst_list = [[] for _ in targets]
-        for i, tgt in enumerate(targets):
+        for i, tgt in enumerate(js.get("targets", [])):
+            vals = inst.setdefault(str(tgt.get("name", f"target_{i}")), [])
             for frame in tgt["frames"]:
                 v = frame["metrics"].get(metric)
-                inst_list[i].append(np.nan if v is None else float(v))
-    if inst_list is None:
-        return []
-    arrays = [np.asarray(v, dtype=np.float64) for v in inst_list]
-    if not compute_averages:
-        return arrays
-    return [(np.nanmedian(a),
-             np.nanmedian(np.abs(a - np.nanmedian(a))),
-             np.nanmean(a),
-             np.nanstd(a)) for a in arrays]
+                vals.append(np.nan if v is None else float(v))
+    names = list(inst)
+    arrays = [np.asarray(v, dtype=np.float64) for v in inst.values()]
+    if compute_averages:
+        result = [(np.nanmedian(a),
+                   np.nanmedian(np.abs(a - np.nanmedian(a))),
+                   np.nanmean(a),
+                   np.nanstd(a)) for a in arrays]
+    else:
+        result = arrays
+    return (result, names) if return_names else result

@@ -163,7 +163,6 @@ def bss_eval_window(references: np.ndarray, estimates: np.ndarray,
     RF = rfft(refs_flat, nfft, axis=1)
     G_all = _gram(RF, nfft, L)  # one Gram per window, shared by all sources
     solver = _GramSolver(G_all)
-    sub_solvers = {}
     for j in range(S):
         if ref_energy[j] == 0:
             continue
@@ -175,9 +174,7 @@ def bss_eval_window(references: np.ndarray, estimates: np.ndarray,
         # Sub-system for the single-source (spatial) projection.
         rows = np.concatenate([
             np.arange((j * C + c) * L, (j * C + c + 1) * L) for c in range(C)])
-        if j not in sub_solvers:
-            sub_solvers[j] = _GramSolver(G_all[np.ix_(rows, rows)])
-        A_j = sub_solvers[j].solve(D_all[rows])
+        A_j = _GramSolver(G_all[np.ix_(rows, rows)]).solve(D_all[rows])
         proj_j = _project(RF[j * C:(j + 1) * C], A_j, nfft, n_out)
 
         s_pad = np.zeros((C, n_out))

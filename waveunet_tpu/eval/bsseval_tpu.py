@@ -165,15 +165,24 @@ def _window_kernel(refs, ests, L: int, nfft: int, refine_iters: int):
         pa2 = jnp.sum((s_pad + e_spat + e_interf) ** 2)
 
         def db(num, den):
-            return 10.0 * jnp.log10(jnp.maximum(num, 1e-30)
-                                    / jnp.maximum(den, 1e-30))
+            # den == 0 -> +inf, num == 0 -> -inf, 0/0 -> nan — the host
+            # path's `_db` semantics; clamping instead returned huge finite
+            # dB that leaked into nanmean/nanstd aggregates (round-2 review
+            # finding).
+            return 10.0 * jnp.log10(num / den)
 
         sdr = db(s2, e_tot2)
         isr = db(s2, e_spa2)
-        sir = db(pj2, e_int2)
-        sar = db(pa2, e_art2)
-        valid = ref_energy[j] > 0
+        # An exactly-silent estimate window (zero-padded tail, hard-gated
+        # output) gives the host path exact zeros (its least-squares RHS is
+        # the raw estimate): SIR = SAR = 0/0 = nan. The residual-RHS device
+        # formulation leaves ~1e-12-relative fp32 residue instead, so match
+        # the host's exact-zero semantics explicitly for that window.
         nan = jnp.float32(jnp.nan)
+        silent_est = jnp.sum(e_pad ** 2) == 0.0
+        sir = jnp.where(silent_est, nan, db(pj2, e_int2))
+        sar = jnp.where(silent_est, nan, db(pa2, e_art2))
+        valid = ref_energy[j] > 0
         return jnp.where(valid, jnp.stack([sdr, isr, sir, sar]), nan)
 
     import jax

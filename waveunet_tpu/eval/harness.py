@@ -75,6 +75,14 @@ def separate_track(sep: Separator, cfg: Config, mix: np.ndarray, rate: int
             est = np.pad(est, [(0, mix.shape[0] - est.shape[0]), (0, 0)])
         if cfg.mono_downmix and mix.shape[1] > 1:
             est = np.tile(est, [1, mix.shape[1]])
+        elif est.shape[1] > mix.shape[1]:
+            # Stereo model fed a mono track: the engine channel-duplicated
+            # the input (`Evaluate.py:98-102`), so downmix the estimate back
+            # to the track's channel count — otherwise scoring stacks
+            # [S, n, 1] references against [S, n, 2] estimates and crashes
+            # (round-2 review finding; the reference never hit this because
+            # MUSDB is all-stereo).
+            est = np.mean(est, axis=1, keepdims=True)
         out[name] = est
     return out
 
@@ -194,8 +202,8 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
     for name, e in errors:
         print(f"WARNING: scoring failed for {name}: {e}")
 
-    stats = compute_mean_metrics(results_dir)
-    for i, (median, mad, mean, sd) in enumerate(stats):
-        print(f"source[{i}]: SDR median {median:.2f} (MAD {mad:.2f}) "
+    stats, names = compute_mean_metrics(results_dir, return_names=True)
+    for name, (median, mad, mean, sd) in zip(names, stats):
+        print(f"{name}: SDR median {median:.2f} (MAD {mad:.2f}) "
               f"mean {mean:.2f} (SD {sd:.2f})")
     return stats

@@ -23,13 +23,20 @@ from waveunet_tpu.eval.aggregate import compute_mean_metrics  # noqa: E402
 
 
 def draw_violin_sdr(json_folder: str, out_path: str = "sdr_violin.pdf",
-                    names=("Accompaniment", "Vocals")):
-    """Violin plot of the segment-wise SDR distributions per source."""
-    data = compute_mean_metrics(json_folder, compute_averages=False,
-                                metric="SDR")
+                    names=None):
+    """Violin plot of the segment-wise SDR distributions per source.
+
+    Labels come from the JSONs' own target names unless ``names`` overrides
+    them (a fixed positional default mislabels sources — the harness writes
+    vocals first, the reference's museval JSONs accompaniment first)."""
+    data, json_names = compute_mean_metrics(json_folder,
+                                            compute_averages=False,
+                                            metric="SDR", return_names=True)
     data = [d[~np.isnan(d)] for d in data]
     if not data:
         raise ValueError(f"no evaluation JSONs in {json_folder}")
+    if names is None:
+        names = [n.capitalize() for n in json_names]
     fig, ax = plt.subplots(figsize=(6, 4))
     ax.violinplot(data, showmedians=True)
     ax.set_xticks(np.arange(1, len(data) + 1))

@@ -103,7 +103,12 @@ def resample_jnp(audio, orig_sr: int, new_sr: int):
     # y[m] = sum_t taps[t] * up(x)[m*q + start*q? ...]; emulate upfirdn alignment:
     # upfirdn output j corresponds to correlation of taps with dilated x at j*q.
     # lax conv computes cross-correlation of x with flipped kernel == convolution.
-    pad_lo = len(taps) - 1 - c * p
+    # Host path PREPENDS c zero samples (group-delay compensation) before
+    # upfirdn; in conv-padding terms those are c*p extra dilated-input
+    # positions on the LEFT, i.e. pad_lo grows by +c*p (a sign flip here
+    # time-shifted every rate pair with c != 0 — round-2 review finding;
+    # tests/test_resample.py now fuzzes pairs with c > 0).
+    pad_lo = len(taps) - 1 + c * p
     pad_hi = start * q + n_out * q + len(taps)
     y = jax.lax.conv_general_dilated(
         x, k, window_strides=(q,), padding=[(pad_lo, pad_hi)],

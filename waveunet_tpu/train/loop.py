@@ -125,7 +125,12 @@ def train_one_epoch_scanned(cfg: Config, state: TrainState, epoch_fn, bank,
     losses = np.asarray(losses)
     dt = time.time() - t0
     if logger is not None:
-        for it in range(0, cfg.epoch_it, 50):
+        # Same logging points as the eager loop: every 50th step plus the
+        # final step of the epoch.
+        its = list(range(0, cfg.epoch_it, 50))
+        if cfg.epoch_it - 1 not in its:
+            its.append(cfg.epoch_it - 1)
+        for it in its:
             logger.log(state.step + it, sep_loss=float(losses[it]))
         logger.log(state.step + cfg.epoch_it,
                    epoch_mean_loss=float(losses.mean()),
@@ -182,8 +187,12 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
             print("Finished first round of training, entering fine-tuning stage")
         _, step_fn = make_train_step(rcfg, rcfg.init_sup_sep_lr, mesh=mesh)
         eval_step = make_eval_step(rcfg, mesh=mesh)
+        # Drop every reference to the previous round's device bank (the
+        # round-1 `train_it` generator closes over it) BEFORE building the
+        # next one — otherwise both full HBM banks are transiently resident.
         epoch_fn = None
         bank = None
+        train_it = None  # noqa: F841 — releases the old bank's generator
         # Adam slots (moments + bias-correction count) carry across the round
         # boundary AND across resume: the reference restores ALL variables —
         # including Adam m/v and beta-power accumulators — from the previous
