@@ -205,3 +205,82 @@ def test_device_bank_multi_instrument(tmp_path):
     total = sum(np.asarray(b[s]) for s in cfg.source_names)
     mix_inner = np.asarray(b["mix"])[:, pad:pad + out_len]
     np.testing.assert_allclose(total, mix_inner, atol=1e-4)
+
+
+def test_pipeline_empty_host_slice_raises(tmp_path, cfg):
+    """A pod host whose song slice is empty must fail fast at construction —
+    an empty slice deadlocks the pod at the first collective (round-2
+    review finding)."""
+    _synthetic_dataset(tmp_path / "wavs", cfg)
+    n_songs = len(cache.list_songs(cfg, "train"))
+    with pytest.raises(ValueError, match="empty song slice"):
+        BatchPipeline(cfg, "train", 1024, 1024,
+                      host_id=n_songs, num_hosts=n_songs + 1)
+
+
+def test_pipeline_prefetch_propagates_errors():
+    """Worker exceptions must surface in the consumer, not read as clean
+    end-of-data (round-2 review finding)."""
+    from waveunet_tpu.data.pipeline import BatchPipeline
+
+    def boom():
+        yield 1
+        raise RuntimeError("pipeline exploded")
+
+    it = BatchPipeline.prefetched(None, boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="pipeline exploded"):
+        list(it)
+
+
+def test_latest_checkpoint_ignores_orbax_tmp(tmp_path):
+    """Crashed orbax saves leave step_X.orbax-checkpoint-tmp-<ts> dirs that
+    sort AFTER the finalized step_X and must never win resume (round-2
+    review finding)."""
+    from waveunet_tpu.train.checkpoint import latest_checkpoint
+
+    d = tmp_path / "exp"
+    (d / "step_0000000100").mkdir(parents=True)
+    (d / "step_0000000200").mkdir()
+    (d / "step_0000000200.orbax-checkpoint-tmp-1234567").mkdir()
+    got = latest_checkpoint(str(tmp_path), "exp")
+    assert got is not None and got.endswith("step_0000000200")
+
+
+def test_is_prepared_requires_completion_marker(tmp_path):
+    """A bare cache directory (crashed partial preprocess) must not count as
+    prepared; the per-partition meta.json is the completion marker."""
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.data import cache as c
+
+    cfg = get_config("baseline", data_path=str(tmp_path))
+    assert not c.is_prepared(cfg)
+    os.makedirs(c.cache_dir(cfg))  # bare dir: previously counted as prepared
+    assert not c.is_prepared(cfg)
+    import json as _json
+    for p in ("train", "valid", "test"):
+        os.makedirs(c.partition_dir(cfg, p), exist_ok=True)
+        with open(os.path.join(c.partition_dir(cfg, p), "meta.json"), "w") as f:
+            _json.dump({}, f)
+    assert c.is_prepared(cfg)
+
+
+def test_wav_odd_data_chunk_before_fmt(tmp_path):
+    """RIFF pads odd-sized chunks with one byte; an odd data chunk placed
+    before fmt must still parse (round-2 review finding)."""
+    import struct as st
+
+    from waveunet_tpu.data.audio_io import load
+
+    samples = np.array([1000, -1000, 32767], "<i2")  # 3 mono s16 samples
+    data = samples.tobytes()  # 6 bytes... make it odd via 8-bit? use 3 bytes
+    data = bytes([128, 255, 0])  # 3 bytes of u8 PCM -> odd chunk
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (st.pack("<4sI", b"data", len(data)) + data + b"\x00"
+            + st.pack("<4sI", b"fmt ", len(fmt)) + fmt)
+    blob = st.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    p = tmp_path / "odd.wav"
+    p.write_bytes(blob)
+    audio, sr = load(str(p), sr=None, mono=False)
+    assert sr == 8000 and audio.shape == (3, 1)
+    np.testing.assert_allclose(audio[:, 0], (np.array([128, 255, 0]) - 128) / 128.0)

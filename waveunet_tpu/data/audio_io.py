@@ -42,8 +42,10 @@ def _read_wav_numpy(path: str) -> Tuple[np.ndarray, int]:
             chunk_id, chunk_sz = struct.unpack("<4sI", hdr)
             if chunk_id == b"fmt ":
                 fmt = f.read(chunk_sz)
+                f.seek(chunk_sz & 1, 1)  # RIFF pads odd chunks by one byte
             elif chunk_id == b"data":
                 data = f.read(chunk_sz)
+                f.seek(chunk_sz & 1, 1)
             else:
                 f.seek(chunk_sz + (chunk_sz & 1), 1)
             if fmt is not None and data is not None:
@@ -141,7 +143,9 @@ def load(path: str, sr: Optional[int] = None, mono: bool = True
     if ext in (".wav", ".wave"):
         try:
             audio, native_sr = _read_wav_numpy(path)
-        except ValueError:
+        except (ValueError, struct.error, EOFError):
+            # struct.error covers truncated headers — not a ValueError
+            # subclass, so it previously bypassed the soundfile fallback.
             if _sf is not None:
                 data, native_sr = _sf.read(path, dtype="float32", always_2d=True)
                 audio = np.asarray(data, np.float32)

@@ -34,7 +34,12 @@ def partition_dir(cfg: Config, partition: str) -> str:
 
 
 def is_prepared(cfg: Config) -> bool:
-    return os.path.exists(cache_dir(cfg))
+    # meta.json is the LAST file each partition write emits, so it doubles as
+    # the completion marker: a bare cache directory can be a crashed partial
+    # preprocess and must not be treated as complete (round-2 review finding).
+    return all(
+        os.path.exists(os.path.join(partition_dir(cfg, p), "meta.json"))
+        for p in ("train", "valid", "test"))
 
 
 def write_song(path: str, tracks: Dict[str, np.ndarray]):

@@ -94,11 +94,19 @@ def get_musdb(database_path: str) -> Tuple[List[Dict[str, str]],
             f"'musdb' stem decoder is not installed") from e
 
     mus = musdb.DB(root=database_path)
+
+    def _part_tracks(part):
+        if hasattr(mus, "load_mus_tracks"):
+            return mus.load_mus_tracks(part)
+        # Older/newer musdb without load_mus_tracks: build a per-subset DB —
+        # falling back to mus.tracks here would hand BOTH loop iterations the
+        # full track list, silently making train == test (round-2 review).
+        return musdb.DB(root=database_path, subsets=[part]).tracks
+
     subsets = []
     for part in ("train", "test"):
         samples = []
-        for track in mus.load_mus_tracks(part) if hasattr(mus, "load_mus_tracks") \
-                else mus.tracks:
+        for track in _part_tracks(part):
             base = os.path.splitext(track.path)[0]
             paths = {"mix": base + "_mix.wav"}
             if not os.path.exists(paths["mix"]):

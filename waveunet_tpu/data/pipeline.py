@@ -45,15 +45,26 @@ class BatchPipeline:
                 f"no cached songs for partition {partition!r} under "
                 f"{cache.partition_dir(cfg, partition)}; run prepare_dataset()")
         self.paths = paths[host_id::num_hosts]
+        if not self.paths:
+            raise ValueError(
+                f"host {host_id}/{num_hosts} got an empty song slice "
+                f"({len(paths)} cached songs < num_hosts); an empty slice "
+                f"would deadlock the pod at the first collective")
         self.keys = list(cfg.source_names) + ["mix"]
 
     # -- iterators -----------------------------------------------------------
     def _songs_endless(self) -> Iterator[Dict[str, np.ndarray]]:
         """Endless shuffled song loads, prefetched by cfg.num_workers reader
         threads (the tf.data `num_parallel_calls` role, `Datasets.py:193`)."""
+        # Dedicated generator for the song order: reader threads advance it
+        # (under the lock) concurrently with the consumer thread's draws from
+        # self.rng, and numpy Generators are not thread-safe — sharing one
+        # across both would corrupt the stream (round-2 review finding).
+        order_rng = np.random.default_rng(int(self.rng.integers(2 ** 63)))
+
         def order_iter():
             while True:
-                for si in self.rng.permutation(len(self.paths)):
+                for si in order_rng.permutation(len(self.paths)):
                     yield self.paths[si]
 
         paths = order_iter()
@@ -77,10 +88,19 @@ class BatchPipeline:
 
     def _song_snippets_train(self) -> Iterator[Dict[str, np.ndarray]]:
         """Endless stream of augmented snippet groups, one song visit at a time."""
+        skipped = 0
         for tracks in self._songs_endless():
             length = tracks["mix"].shape[0]
             if length < self.input_len:
+                # Every song too short would otherwise spin here forever
+                # without ever yielding (silent training deadlock).
+                skipped += 1
+                if skipped > 2 * len(self.paths):
+                    raise RuntimeError(
+                        f"no cached song in this partition slice reaches the "
+                        f"network input length {self.input_len}")
                 continue
+            skipped = 0
             pos = sampler.random_snippet_positions(
                 self.rng, length, self.input_len,
                 self.cfg.num_snippets_per_track)
@@ -135,11 +155,14 @@ class BatchPipeline:
         data prep overlaps device compute (tf.data prefetch equivalent)."""
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
+        err: List[BaseException] = []
 
         def worker():
             try:
                 for item in it:
                     q.put(item)
+            except BaseException as e:  # re-raised in the consumer below
+                err.append(e)
             finally:
                 q.put(sentinel)
 
@@ -148,5 +171,9 @@ class BatchPipeline:
         while True:
             item = q.get()
             if item is sentinel:
+                if err:
+                    # Surface the pipeline error instead of presenting it as
+                    # clean end-of-data (round-2 review finding).
+                    raise err[0]
                 return
             yield item

@@ -11,10 +11,20 @@ resolves the newest step like TF's checkpoint protocol did.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+_STEP_DIR = re.compile(r"^step_\d+$")
+
+
+def _is_step_dir(name: str) -> bool:
+    """Exactly ``step_<digits>`` — a crashed orbax save leaves
+    ``step_X.orbax-checkpoint-tmp-<ts>`` siblings that must never be resumed
+    from or counted by the retention policy (round-2 review finding)."""
+    return bool(_STEP_DIR.fullmatch(name))
 
 
 def _ckptr():
@@ -51,7 +61,7 @@ def prune_checkpoints(base_dir: str, experiment_id: str, keep: int,
     if not os.path.isdir(d):
         return
     protected = {os.path.abspath(p) for p in protect if p}
-    steps = sorted(f for f in os.listdir(d) if f.startswith("step_"))
+    steps = sorted(f for f in os.listdir(d) if _is_step_dir(f))
     for f in steps[:-keep]:
         path = os.path.abspath(os.path.join(d, f))
         if path in protected:
@@ -63,7 +73,7 @@ def latest_checkpoint(base_dir: str, experiment_id: str) -> Optional[str]:
     d = os.path.join(base_dir, str(experiment_id))
     if not os.path.isdir(d):
         return None
-    steps = [f for f in os.listdir(d) if f.startswith("step_")]
+    steps = [f for f in os.listdir(d) if _is_step_dir(f)]
     if not steps:
         return None
     return os.path.join(d, max(steps))
