@@ -60,5 +60,8 @@ def test_invalid_values_rejected():
         get_config("baseline", task="karaoke")
     with pytest.raises(NotImplementedError):
         get_config("baseline", output_type="both")
-    with pytest.raises(KeyError):
+    from waveunet_tpu.config import ConfigError
+    with pytest.raises(ConfigError, match="unknown preset"):
         get_config("nonexistent")
+    with pytest.raises(ConfigError, match="bad config override"):
+        get_config("baseline", not_a_real_key=1)

@@ -86,3 +86,38 @@ def test_stereo_config_rejected():
     cfg = get_config("unet_spectrogram", mono_downmix=False)
     with pytest.raises(NotImplementedError):
         init_spectrogram_unet(jax.random.PRNGKey(0), cfg)
+
+
+def test_framing_slack_rejected():
+    """Windows with STFT framing slack would stitch periodic silence into the
+    output (samples past hop*(F-1)+1024 are never analysed) — get_padding
+    must reject them (round-2 review finding)."""
+    from waveunet_tpu.ops import shapes
+
+    cfg = get_config("unet_spectrogram", num_layers=3)
+    with pytest.raises(ValueError, match="framing slack"):
+        shapes.get_padding(cfg, 768 * 15 + 1024 + 500)
+
+
+def test_separate_file_carries_model_state(model, tmp_path, rng):
+    """cli predict's path: separate_file must thread the BN state through to
+    the Separator (dropping it crashed spectrogram predict — round-2
+    review finding)."""
+    from waveunet_tpu.data.audio_io import write_wav
+    from waveunet_tpu.infer.engine import separate_file
+
+    params, state = model
+    sr = _CFG.expected_sr
+    n = _CFG.num_frames + 777
+    audio = (0.2 * np.sin(2 * np.pi * 220 * np.arange(n) / sr)
+             ).astype(np.float32)[:, None]
+    src = tmp_path / "in.wav"
+    write_wav(str(src), audio, sr)
+    written = separate_file(_CFG, params, str(src),
+                            output_path=str(tmp_path / "out"),
+                            model_state=state)
+    assert set(written) == set(_CFG.source_names)
+    from waveunet_tpu.data.audio_io import load
+    for p in written.values():
+        est, esr = load(p, sr=None, mono=False)
+        assert esr == sr and est.shape[0] == n and np.isfinite(est).all()

@@ -143,7 +143,8 @@ def cmd_predict(args):
     params, model_state = _load_params(cfg, opts.get("checkpoint"))
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     written = separate_file(cfg, params, opts["input_path"],
-                            output_path=opts.get("output_path"), mesh=mesh)
+                            output_path=opts.get("output_path"), mesh=mesh,
+                            model_state=model_state)
     for name, p in written.items():
         print(f"{name}: {p}")
 
@@ -335,11 +336,13 @@ def main(argv=None):
     if not argv or argv[0] not in _COMMANDS:
         print(__doc__)
         sys.exit(0 if argv and argv[0] in ("-h", "--help") else 2)
+    from waveunet_tpu.config import ConfigError
     try:
         _COMMANDS[argv[0]](argv[1:])
-    except KeyError as e:
-        # e.g. unknown preset name: show the message, not a traceback
-        print(f"error: {e.args[0]}", file=sys.stderr)
+    except ConfigError as e:
+        # unknown preset / bad override: show the message, not a traceback
+        # (catching broad KeyError here masked real bugs as config errors)
+        print(f"error: {e}", file=sys.stderr)
         sys.exit(2)
 
 

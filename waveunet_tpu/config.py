@@ -249,13 +249,24 @@ def preset_names() -> Tuple[str, ...]:
     return tuple(sorted(_REGISTRY))
 
 
+class ConfigError(Exception):
+    """User-facing configuration error (unknown preset / override key).
+
+    The CLI catches exactly this to print a clean message — catching broad
+    KeyError there masked real bugs as config errors (round-2 review)."""
+
+
 def get_config(name: str = "baseline", **overrides) -> Config:
     """Look up a named preset and apply keyword overrides."""
     if name not in _REGISTRY:
-        raise KeyError(f"unknown preset {name!r}; available: {preset_names()}")
+        raise ConfigError(
+            f"unknown preset {name!r}; available: {preset_names()}")
     cfg = _REGISTRY[name]()
     if overrides:
-        cfg = cfg.replace(**overrides)
+        try:
+            cfg = cfg.replace(**overrides)
+        except TypeError as e:
+            raise ConfigError(f"bad config override: {e}") from e
     return cfg
 
 

@@ -34,6 +34,47 @@ from waveunet_tpu.config import Config
 from waveunet_tpu.data import cache
 
 
+def build_sampler(cfg: Config, input_len: int, output_len: int, batch: int,
+                  augment: Optional[bool] = None):
+    """Traceable sampler over (bank, starts, valids, key) -> batch dict.
+
+    Shared by :class:`DeviceBank` and the driver's multi-chip dry run
+    (``__graft_entry__.py``), so the production sampling semantics are
+    validated by the same code they run with. Snippet positions draw with
+    ``jax.random.randint`` — an earlier float32 ``frac * valid`` formulation
+    quantised to even offsets on songs > 2^24 samples (round-2 review).
+    """
+    S = cfg.num_sources
+    pad = (input_len - output_len) // 2
+    do_augment = cfg.augmentation if augment is None else augment
+
+    def sample(bank, starts, valids, key):
+        k_song, k_pos, k_amp = jax.random.split(key, 3)
+        song = jax.random.randint(k_song, (batch,), 0, starts.shape[0])
+        # valid == 0 (song exactly input_len long) still admits position 0.
+        pos = starts[song] + jax.random.randint(
+            k_pos, (batch,), 0, jnp.maximum(valids[song], 1))
+
+        def gather(p):
+            # [S, input_len, C] window across every source at position p
+            return jax.lax.dynamic_slice(
+                bank, (0, p, 0), (S, input_len, bank.shape[2]))
+
+        wins = jax.vmap(gather)(pos).astype(jnp.float32) / 32767.0
+        if do_augment:
+            scale = jax.random.uniform(k_amp, (batch, S, 1, 1), minval=0.7,
+                                       maxval=1.0)
+            wins = wins * scale
+        mix = jnp.sum(wins, axis=1)  # [batch, input_len, C]
+        targets = wins[:, :, pad:pad + output_len, :] if pad > 0 else wins
+        out = {name: targets[:, i] for i, name in
+               enumerate(cfg.source_names)}
+        out["mix"] = mix
+        return out
+
+    return sample
+
+
 class DeviceBank:
     """Concatenated per-source audio bank on device + song position table."""
 
@@ -69,6 +110,10 @@ class DeviceBank:
             offset += length
         if not chunks:
             raise ValueError("no song long enough for the input window")
+        if len(starts) < len(paths):
+            print(f"WARNING: device bank dropped {len(paths) - len(starts)} "
+                  f"of {len(paths)} songs shorter than the "
+                  f"{input_len}-sample network input")
         bank = np.concatenate(chunks, axis=1)  # [S, total, C]
         if max_bytes is not None and bank.nbytes > max_bytes:
             raise ValueError(
@@ -92,37 +137,8 @@ class DeviceBank:
         return self._bank, self._starts, self._valids
 
     def _build_sampler(self):
-        cfg = self.cfg
-        S = cfg.num_sources
-        in_len, out_len, pad = self.input_len, self.output_len, self.pad
-        B = self.batch
-        augment = cfg.augmentation
-
-        def sample(bank, starts, valids, key):
-            k_song, k_pos, k_amp = jax.random.split(key, 3)
-            song = jax.random.randint(k_song, (B,), 0, starts.shape[0])
-            frac = jax.random.uniform(k_pos, (B,))
-            pos = starts[song] + (frac * valids[song].astype(jnp.float32)
-                                  ).astype(jnp.int32)
-
-            def gather(p):
-                # [S, in_len, C] window across every source at position p
-                return jax.lax.dynamic_slice(
-                    bank, (0, p, 0), (S, in_len, bank.shape[2]))
-
-            wins = jax.vmap(gather)(pos).astype(jnp.float32) / 32767.0
-            if augment:
-                scale = jax.random.uniform(k_amp, (B, S, 1, 1), minval=0.7,
-                                           maxval=1.0)
-                wins = wins * scale
-            mix = jnp.sum(wins, axis=1)  # [B, in_len, C]
-            targets = wins[:, :, pad:pad + out_len, :] if pad > 0 else wins
-            batch = {name: targets[:, i] for i, name in
-                     enumerate(cfg.source_names)}
-            batch["mix"] = mix
-            return batch
-
-        return sample
+        return build_sampler(self.cfg, self.input_len, self.output_len,
+                             self.batch)
 
     def batches(self, base_key=None):
         """Endless iterator of device-resident training batches."""

@@ -110,12 +110,16 @@ class Separator:
                 def forward_fn(p, x):
                     out, _ = apply_spectrogram_unet(p, cfg, x, training=False,
                                                     state=mstate)
-                    # iSTFT output is hop*(F-1)+frame_len samples; pad back to
-                    # the window length so stitching shapes stay uniform.
+                    # iSTFT output is hop*(F-1)+frame_len samples; get_padding
+                    # validates the window carries no framing slack, so this
+                    # must equal the stitch hop exactly — padding zeros here
+                    # would silently stitch gaps of silence into the song.
                     short = self.out_len - out[cfg.source_names[0]].shape[1]
-                    if short > 0:
-                        out = {k: jnp.pad(v, [(0, 0), (0, short), (0, 0)])
-                               for k, v in out.items()}
+                    if short != 0:
+                        raise ValueError(
+                            f"spectrogram window/iSTFT length mismatch "
+                            f"({short} samples of framing slack escaped "
+                            f"get_padding validation)")
                     return out
 
         self._forward_fn = forward_fn
@@ -229,10 +233,12 @@ class Separator:
 
         # Difference output: the device only computes/ships the K-1 conv
         # sources; the last is clip(mix - sum(others)) (`OutputLayer.py:20-21`),
-        # reconstructed here. Exact: every stitched sample originates from one
-        # window, and mix_window[t] == mix[t], so host reconstruction equals
-        # the device's per-window difference bit for bit (up to the wire
-        # format, identical for both paths).
+        # reconstructed here. fp32 wire: bit-exact (every stitched sample
+        # originates from one window and mix_window[t] == mix[t]). int16
+        # wire: the conv sources quantise individually before the subtraction
+        # here, while a device-side difference would quantise once after it —
+        # the results can differ by ~1 LSB per conv source (inside the PCM16
+        # output's quantisation floor either way).
         if self._host_reconstruct_last:
             last = self.cfg.source_names[-1]
             mix_trim = (mix_audio[:-extra_pad] if extra_pad > 0 else mix_audio)
@@ -367,16 +373,18 @@ class Separator:
 
 def separate_file(cfg: Config, params, input_path: str,
                   output_path: Optional[str] = None,
-                  mesh: Optional[jax.sharding.Mesh] = None) -> Dict[str, str]:
+                  mesh: Optional[jax.sharding.Mesh] = None,
+                  model_state=None) -> Dict[str, str]:
     """Separate an audio file into per-source WAVs next to the input
     (mirrors `Evaluate.produce_source_estimates`, `/root/reference/Evaluate.py:161-193`).
+    ``model_state`` carries the spectrogram model's BN statistics.
     Returns {source_name: written_path}."""
     import os
 
     from waveunet_tpu.data.audio_io import load, write_wav
 
     audio, sr = load(input_path, sr=None, mono=False)
-    sep = Separator(cfg, params, mesh=mesh)
+    sep = Separator(cfg, params, model_state=model_state, mesh=mesh)
     preds = sep.separate(audio, sr)
 
     folder, fname = os.path.split(input_path)

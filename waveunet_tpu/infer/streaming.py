@@ -47,6 +47,10 @@ from waveunet_tpu.ops.shapes import pow2_ceil as _pow2_ceil
 
 class StreamingSeparator:
     def __init__(self, cfg: Config, params, batch_windows: int = 1):
+        if cfg.network != "unet":
+            raise ValueError(
+                "StreamingSeparator supports the time-domain unet models "
+                "only (the spectrogram model has no streaming path)")
         self.cfg = cfg
         frames = cfg.infer_num_frames or cfg.num_frames
         if frames == -1:  # auto-tuned window (see ops/shapes.auto_infer_frames)

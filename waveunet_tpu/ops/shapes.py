@@ -66,6 +66,16 @@ def get_padding(cfg: Config, num_frames: int) -> Tuple[int, int]:
                     f"num_frames={num_frames} gives {f} STFT frames, which "
                     f"must be a positive multiple of 2^num_layers="
                     f"{1 << cfg.num_layers} (use hop*(k*2^L - 1) + 1024)")
+            # The window must also carry NO framing slack: samples beyond
+            # hop*(F-1)+frame_len are never analysed, and the engine would
+            # stitch that many zeros into every hop of the output — silent
+            # wrong audio, not an error (round-2 review finding).
+            istft_len = _stft.HOP * (f - 1) + _stft.FRAME_LEN
+            if istft_len != num_frames:
+                raise ValueError(
+                    f"num_frames={num_frames} has {num_frames - istft_len} "
+                    f"samples of STFT framing slack (iSTFT covers "
+                    f"{istft_len}); use exactly hop*(k*2^L - 1) + 1024")
             if 512 % (1 << cfg.num_layers) != 0:
                 raise ValueError("spectrogram net supports at most 9 layers "
                                  "(512 frequency bins must halve cleanly)")
