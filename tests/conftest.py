@@ -8,10 +8,15 @@ Must set the env vars before the first jax import anywhere in the process.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # env pre-sets axon (real TPU); override.
+# FORCE the 8-device count, replacing any pre-existing value — inheriting a
+# stale count (e.g. =2 from a pod experiment) silently skips every
+# _require_8() sharding test while the suite still reports green.
+import re  # noqa: E402
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import numpy as np  # noqa: E402
@@ -24,8 +29,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: a session-scoped shared Generator made each test's
+    # data depend on which tests ran before it (failures unreproducible
+    # under `pytest -k`); a fresh seeded Generator per test is equally
+    # deterministic without the cross-test coupling.
     return np.random.default_rng(1337)
 
 

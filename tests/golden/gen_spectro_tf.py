@@ -11,7 +11,7 @@ import os
 import sys
 
 os.environ["CUDA_VISIBLE_DEVICES"] = ""
-os.environ.pop("JAX_PLATFORMS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"  # pin: auto-select would grab the axon TPU
 
 import numpy as np
 
@@ -31,9 +31,8 @@ CFG = get_config("unet_spectrogram", num_layers=L,
                  num_initial_filters=8)
 
 
-def rnd(shape, seed, scale=0.1):
-    return (scale * np.random.default_rng(seed).standard_normal(shape)
-            ).astype(np.float32)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from initutil import rnd  # noqa: E402  (shared across generators)
 
 
 def build(mix):

@@ -34,7 +34,7 @@ import sys
 import types
 
 os.environ["CUDA_VISIBLE_DEVICES"] = ""
-os.environ.pop("JAX_PLATFORMS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"  # pin: auto-select would grab the axon TPU
 
 import numpy as np
 
@@ -182,17 +182,8 @@ def install_tf1_shims():
 # gen_spectro_tf.py so goldens are cross-comparable.
 # --------------------------------------------------------------------------
 
-def glorot(shape, seed):
-    rng = np.random.default_rng(seed)
-    fan_in = np.prod(shape[:-1])
-    fan_out = shape[-1] * (np.prod(shape[:-2]) if len(shape) > 2 else 1)
-    lim = np.sqrt(6.0 / (fan_in + fan_out))
-    return rng.uniform(-lim, lim, size=shape).astype(np.float32)
-
-
-def rnd(shape, seed, scale=0.1):
-    return (scale * np.random.default_rng(seed).standard_normal(shape)
-            ).astype(np.float32)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from initutil import glorot, rnd  # noqa: E402  (shared across generators)
 
 
 def assign_waveunet_weights(sess, seed0=7):

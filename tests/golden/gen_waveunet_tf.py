@@ -19,7 +19,7 @@ import os
 import sys
 
 os.environ["CUDA_VISIBLE_DEVICES"] = ""
-os.environ.pop("JAX_PLATFORMS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"  # pin: auto-select would grab the axon TPU
 
 import numpy as np
 
@@ -49,12 +49,8 @@ CASES = {
 }
 
 
-def glorot(shape, seed):
-    rng = np.random.default_rng(seed)
-    fan_in = np.prod(shape[:-1])
-    fan_out = shape[-1] * (np.prod(shape[:-2]) if len(shape) > 2 else 1)
-    lim = np.sqrt(6.0 / (fan_in + fan_out))
-    return rng.uniform(-lim, lim, size=shape).astype(np.float32)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from initutil import glorot  # noqa: E402  (shared with gen_waveunet_ref.py)
 
 
 def build(cfg, mix, seed0=7):
@@ -153,6 +149,7 @@ def build(cfg, mix, seed0=7):
 def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     for case, kw in CASES.items():
+        kw = dict(kw)  # keep CASES reusable (kw.pop mutated the module dict)
         preset = kw.pop("preset")
         batch = kw.pop("batch", 2)
         cfg = get_config(preset, **kw)

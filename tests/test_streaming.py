@@ -11,10 +11,11 @@ from waveunet_tpu.models.waveunet import init_waveunet
 
 
 @pytest.fixture(scope="module")
-def setup(rng):
+def setup():
     cfg = get_config("baseline_context", num_layers=3, num_frames=256)
     params = init_waveunet(jax.random.PRNGKey(0), cfg)
     n = 2000
+    rng = np.random.default_rng(1337)  # module-local (rng fixture is per-test)
     audio = (0.1 * rng.standard_normal((n, 1))).astype(np.float32)
     return cfg, params, audio
 
