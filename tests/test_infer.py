@@ -222,3 +222,50 @@ def test_precompile_covers_chunk_programs(rng):
              ).astype(np.float32)  # 7 windows -> chunks of 4, 2, 1
     out = sep.separate(audio, cfg.expected_sr)
     assert out[cfg.source_names[0]].shape[0] == audio.shape[0]
+
+
+@pytest.mark.parametrize("preset,kw", [
+    # learned interpolation + difference output + stereo (M5 family)
+    ("full", dict(num_layers=3, num_frames=256, num_initial_filters=6)),
+    # 4 sources, linear upsampling, stereo (M6 family)
+    ("full_multi_instrument",
+     dict(num_layers=3, num_frames=256, num_initial_filters=6)),
+    # small merge filter, deeper (smallfilter_deep family, scaled down)
+    ("baseline_context_smallfilter_deep",
+     dict(num_layers=4, num_frames=256, num_initial_filters=6)),
+])
+def test_stitching_matches_serial_all_families(rng, preset, kw):
+    """Differential sweep vs the serial reference loop across the remaining
+    architecture families, at pathological song lengths: exactly one window,
+    one-sample overhang, and shorter than the network input (extra-pad
+    path)."""
+    cfg = get_config(preset, infer_batch=4, **kw)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    ch = cfg.num_channels
+    sep = Separator(cfg, params)
+    pad = (in_len - out_len) // 2
+
+    for n in (out_len, out_len + 1, 3 * out_len + 7, max(1, out_len - 5)):
+        audio = (0.1 * rng.standard_normal((n, ch))).astype(np.float32)
+        got = sep.separate(audio, cfg.expected_sr)
+
+        # serial oracle, incl. the short-song zero-pad (`Evaluate.py:107-111`)
+        a = audio
+        if a.shape[0] < in_len:
+            a = np.pad(a, [(0, in_len - a.shape[0]), (0, 0)])
+        m = a.shape[0]
+        padded = np.pad(a, [(pad, pad), (0, 0)])
+        preds = {s: np.zeros((m, ch), np.float32) for s in cfg.source_names}
+        for p0 in range(0, m, out_len):
+            if p0 + out_len > m:
+                p0 = m - out_len
+            part = padded[p0:p0 + in_len][None]
+            out = apply_waveunet(params, cfg, jnp.asarray(part),
+                                 training=False)
+            for s in cfg.source_names:
+                preds[s][p0:p0 + out_len] = np.asarray(out[s][0])
+
+        for s in cfg.source_names:
+            np.testing.assert_allclose(got[s], preds[s][:n], atol=1e-5,
+                                       err_msg=f"{preset} n={n} {s}")
