@@ -137,3 +137,30 @@ def test_stream_fuzz_random_chunks(setup, seed):
         assert got[s].shape[0] == audio.shape[0]
         np.testing.assert_allclose(got[s][:n_cmp], offline[s][:n_cmp],
                                    atol=1e-5, err_msg=s)
+
+
+def test_stream_matches_offline_learned_stereo():
+    """Streaming parity on the learned-interp difference stereo family (the
+    module fixture covers bilinear mono only)."""
+    cfg = get_config("full", num_layers=3, num_frames=256,
+                     num_initial_filters=6)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    audio = (0.1 * rng.standard_normal((1500, 2))).astype(np.float32)
+    offline = Separator(cfg, params).separate(audio, cfg.expected_sr)
+
+    stream = StreamingSeparator(cfg, params, batch_windows=2)
+    got = {s: [] for s in cfg.source_names}
+    for i in range(0, audio.shape[0], 211):
+        for s, v in stream.push(audio[i:i + 211]).items():
+            got[s].append(v)
+    for s, v in stream.flush().items():
+        got[s].append(v)
+    # exclude the offline engine's right-aligned final window (future context
+    # a stream cannot see) — same bound as test_stream_matches_offline
+    n_cmp = audio.shape[0] - stream.out_len
+    for s in cfg.source_names:
+        out = np.concatenate(got[s])
+        assert out.shape[0] == audio.shape[0]
+        np.testing.assert_allclose(out[:n_cmp], offline[s][:n_cmp],
+                                   atol=1e-5, err_msg=s)
