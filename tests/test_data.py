@@ -284,3 +284,20 @@ def test_wav_odd_data_chunk_before_fmt(tmp_path):
     audio, sr = load(str(p), sr=None, mono=False)
     assert sr == 8000 and audio.shape == (3, 1)
     np.testing.assert_allclose(audio[:, 0], (np.array([128, 255, 0]) - 128) / 128.0)
+
+
+def test_device_bank_set_batch(tmp_path, cfg):
+    """Round-2 fine-tuning reuses the round-1 bank: set_batch must re-point
+    the sampler without touching the (expensive-to-upload) bank arrays."""
+    from waveunet_tpu.data.device_cache import DeviceBank
+
+    _synthetic_dataset(tmp_path / "wavs", cfg)
+    import jax
+    bank = DeviceBank(cfg, "train", 1024, 1024, batch_size=2)
+    arr0 = bank.arrays[0]
+    b = next(bank.batches(jax.random.PRNGKey(0)))
+    assert b["mix"].shape[0] == 2
+    bank.set_batch(4)
+    assert bank.arrays[0] is arr0  # same device buffer, no re-upload
+    b = next(bank.batches(jax.random.PRNGKey(0)))
+    assert b["mix"].shape[0] == 4

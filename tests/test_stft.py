@@ -62,3 +62,23 @@ def test_griffin_lim_recovers_tone():
     mag_y = np.abs(np.asarray(S.stft(jnp.asarray(y[None]))))[0]
     err = np.linalg.norm(mag_y - mag) / np.linalg.norm(mag)
     assert err < 0.15, err
+
+
+def test_shim_accepts_reference_orientation():
+    """Utils.spectrogramToAudioFile must accept the reference/librosa
+    [bins, frames] orientation ported scripts pass (round-2 review: the
+    silent wrong-orientation pass-through produced garbage audio)."""
+    from waveunet_tpu import utils
+
+    sr = 8192
+    t = np.arange(768 * 6 + 1024) / sr
+    x = 0.4 * np.sin(2 * np.pi * 330.0 * t).astype(np.float32)
+    spec = np.asarray(S.stft(jnp.asarray(x[None])))[0]  # [frames, bins]
+    mag, phase = np.abs(spec), np.angle(spec)
+
+    ours = utils.spectrogramToAudioFile(mag, phaseIterations=0, phase=phase)
+    ref_orient = utils.spectrogramToAudioFile(mag.T, phaseIterations=0,
+                                              phase=phase.T)
+    np.testing.assert_allclose(ref_orient, ours, atol=1e-6)
+    with pytest.raises(ValueError, match="frequency bins"):
+        utils.spectrogramToAudioFile(mag[:, :-1])  # no axis == bins

@@ -128,6 +128,14 @@ class DeviceBank:
         self.sample_raw = self._build_sampler()
         self._sample = jax.jit(self.sample_raw)
 
+    def set_batch(self, batch: int) -> None:
+        """Re-point the samplers at a new batch size. The bank arrays are
+        reused — rebuilding the bank for a fine-tune round's batch change
+        would re-upload the multi-GB int16 bank over the host link."""
+        self.batch = batch
+        self.sample_raw = self._build_sampler()
+        self._sample = jax.jit(self.sample_raw)
+
     def nbytes(self) -> int:
         return int(self._bank.size) * 2
 

@@ -31,8 +31,13 @@ def write_track_json(path: str, track_name: str, targets: Dict[str, Dict[str, np
             })
         out["targets"].append({"name": name, "frames": frames})
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w") as f:
+    # Atomic write: the eval harness resumes by JSON existence, so a file
+    # truncated by an interrupt would be both permanently skipped AND crash
+    # aggregation (round-2 review finding).
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(out, f)
+    os.replace(tmp, path)
 
 
 def compute_mean_metrics(json_folder: str, compute_averages: bool = True,

@@ -32,15 +32,22 @@ _EVAL_TARGETS = {
 }
 
 
-def iter_tracks(musdb_path: str, subset: str
+def iter_tracks(musdb_path: str, subset: str, skip=None
                 ) -> Iterator[Tuple[str, np.ndarray, int, Dict[str, np.ndarray]]]:
-    """Yields (name, mixture [n, ch], rate, {target: [n, ch]})."""
+    """Yields (name, mixture [n, ch], rate, {target: [n, ch]}).
+
+    ``skip(name) -> bool`` short-circuits BEFORE any audio decode and yields
+    ``(name, None, None, None)`` — resuming a mostly-complete dataset eval
+    must not pay minutes of WAV/mp3 decode per already-scored track."""
     part_dir = os.path.join(musdb_path, subset)
     if os.path.isdir(part_dir):  # decoded-WAV layout
         for song in sorted(os.listdir(part_dir)):
             d = os.path.join(part_dir, song)
             mix_p = os.path.join(d, "mixture.wav")
             if not os.path.isfile(mix_p):
+                continue
+            if skip is not None and skip(song):
+                yield song, None, None, None
                 continue
             mix, sr = load(mix_p, sr=None, mono=False)
             targets = {}
@@ -60,6 +67,9 @@ def iter_tracks(musdb_path: str, subset: str
 
     mus = musdb.DB(root=musdb_path, subsets=[subset])
     for track in mus.tracks:
+        if skip is not None and skip(track.name):
+            yield track.name, None, None, None
+            continue
         targets = {name: tgt.audio for name, tgt in track.targets.items()}
         yield track.name, track.audio, track.rate, targets
 
@@ -128,7 +138,17 @@ def _score_and_write(cfg, name, mix_len, rate, targets, preds, results_dir,
                      estimates_dir, win_s, tpu_bss=False, mesh=None):
     eval_names = [s for s in _EVAL_TARGETS[cfg.task]
                   if s in preds and s in targets]
-    refs = np.stack([targets[s][:mix_len] for s in eval_names])
+
+    def fit(x):
+        # Targets can disagree with the mixture length by a codec frame
+        # (trimmed stems); estimates are already mixture-length. Align all
+        # references too, or np.stack crashes and drops the track.
+        x = x[:mix_len]
+        if x.shape[0] < mix_len:
+            x = np.pad(x, [(0, mix_len - x.shape[0]), (0, 0)])
+        return x
+
+    refs = np.stack([fit(targets[s]) for s in eval_names])
     ests = np.stack([preds[s] for s in eval_names])
     res = _bss_eval(refs, ests, rate, win_s, tpu_bss, mesh)
     per_target = {s: {k: res[k][i] for k in res}
@@ -179,12 +199,17 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
 
     worker = threading.Thread(target=scorer, daemon=True)
     worker.start()
+    # Idempotent resume: a full-dataset eval takes hours (scoring-bound);
+    # already-scored tracks are skipped like the reference's idempotent
+    # ingest (`Datasets.py:233-245`) — BEFORE their audio is decoded.
+    # Delete the JSON to re-evaluate.
+    def _scored(name):
+        return os.path.exists(os.path.join(results_dir, f"{name}.json"))
+
     count = 0
-    for name, mix, rate, targets in iter_tracks(cfg.musdb_path, subset):
-        # Idempotent resume: a full-dataset eval takes hours (scoring-bound);
-        # already-scored tracks are skipped like the reference's idempotent
-        # ingest (`Datasets.py:233-245`). Delete the JSON to re-evaluate.
-        if os.path.exists(os.path.join(results_dir, f"{name}.json")):
+    for name, mix, rate, targets in iter_tracks(cfg.musdb_path, subset,
+                                                skip=_scored):
+        if mix is None:
             print(f"Skipping {name} (already evaluated)")
             count += 1
             if max_tracks is not None and count >= max_tracks:

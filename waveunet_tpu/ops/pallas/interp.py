@@ -25,14 +25,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, o_ref, *, tile: int, context: bool):
+def _kernel(x_ref, w_ref, o_ref, *, tile: int):
     xv = x_ref[0]  # [tile + 8, C] (halo rounded to sublane alignment)
     w = jax.nn.sigmoid(w_ref[0, :])
     cur = xv[:tile, :]
     nxt = xv[1:tile + 1, :]
     mids = w * cur + (1.0 - w) * nxt
-    # interleave: [tile, 2, C] -> write as one [2*tile, C] tile
-    o_ref[0] = jnp.stack([cur, mids], axis=1).reshape(2 * tile, -1)
+    # interleave: [tile, 2, C] -> write as one [2*tile, C] tile; cast back
+    # (sigmoid promotes bf16 inputs to fp32 and the store dtype must match)
+    o_ref[0] = jnp.stack([cur, mids], axis=1).reshape(2 * tile, -1).astype(
+        o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("context", "tile", "interpret"))
@@ -51,7 +53,7 @@ def learned_interp_pallas(x, weights, context: bool, tile: int = 512,
     xp = jnp.pad(x, ((0, 0), (0, target - n), (0, 0))) if target > n else x
 
     out = pl.pallas_call(
-        functools.partial(_kernel, tile=tile, context=context),
+        functools.partial(_kernel, tile=tile),
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec((pl.Element(1), pl.Element(tile + 8), pl.Element(C)),

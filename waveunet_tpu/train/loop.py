@@ -63,15 +63,6 @@ def make_train_source(cfg: Config, in_len: int, out_len: int,
     return None, pipe.prefetched(pipe.train_batches())
 
 
-def make_train_iterator(cfg: Config, in_len: int, out_len: int,
-                        seed_offset: int = 0):
-    """Training batch source as an endless iterator (bank-backed or host)."""
-    bank, it = make_train_source(cfg, in_len, out_len, seed_offset)
-    if bank is not None:
-        return bank.batches(jax.random.PRNGKey(cfg.seed + seed_offset))
-    return it
-
-
 def init_state(cfg: Config, rng=None) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     if cfg.network == "unet":
@@ -182,17 +173,15 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
     epoch = 0
     round_cfgs = [cfg, cfg.replace(batch_size=cfg.batch_size * 2,
                                    init_sup_sep_lr=1e-5)]
+    bank = None
     for rnd, rcfg in enumerate(round_cfgs):
         if rnd == 1:
             print("Finished first round of training, entering fine-tuning stage")
         _, step_fn = make_train_step(rcfg, rcfg.init_sup_sep_lr, mesh=mesh)
         eval_step = make_eval_step(rcfg, mesh=mesh)
-        # Drop every reference to the previous round's device bank (the
-        # round-1 `train_it` generator closes over it) BEFORE building the
-        # next one — otherwise both full HBM banks are transiently resident.
         epoch_fn = None
-        bank = None
-        train_it = None  # noqa: F841 — releases the old bank's generator
+        train_it = None  # releases the old round's generator (closes over
+        #                  the old sampler; the bank arrays are shared)
         # Adam slots (moments + bias-correction count) carry across the round
         # boundary AND across resume: the reference restores ALL variables —
         # including Adam m/v and beta-power accumulators — from the previous
@@ -201,8 +190,15 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
         # round 2. optax.adam state layout is lr-independent, so the same
         # opt_state threads straight into the new step_fn.
 
-        bank, train_it = make_train_source(rcfg, in_len, out_len,
-                                           seed_offset=rnd)
+        if bank is None:
+            bank, train_it = make_train_source(rcfg, in_len, out_len,
+                                               seed_offset=rnd)
+        else:
+            # Round 2+ reuses the round-1 device bank — its contents are
+            # byte-identical (only batch_size/lr change); rebuilding would
+            # re-upload the multi-GB int16 bank over the host link for
+            # nothing (round-2 review finding).
+            bank.set_batch(rcfg.batch_size)
         if bank is not None and cfg.scan_epoch:
             # Whole-epoch lax.scan over the device bank: one dispatch per
             # epoch instead of epoch_it (`make_scanned_epoch`); on a mesh the

@@ -42,7 +42,21 @@ def spectrogramToAudioFile(magnitude: np.ndarray, fftWindowSize: int = 1024,
                            phase: Optional[np.ndarray] = None,
                            length: Optional[int] = None) -> np.ndarray:
     """Magnitude (+optional initial phase) -> audio via Griffin-Lim
-    (`/root/reference/Utils.py:125-146` semantics). magnitude is [frames, bins]."""
+    (`/root/reference/Utils.py:125-146` semantics).
+
+    Accepts BOTH orientations: the reference/librosa convention
+    ``[bins, frames]`` (what ported scripts pass) and this framework's
+    ``[frames, bins]`` — detected by which axis equals ``fftWindowSize//2+1``
+    (a silent wrong-orientation pass-through produced garbage audio,
+    round-2 review finding)."""
+    bins = fftWindowSize // 2 + 1
+    if magnitude.shape[0] == bins and magnitude.shape[-1] != bins:
+        magnitude = np.asarray(magnitude).T
+        phase = None if phase is None else np.asarray(phase).T
+    elif magnitude.shape[-1] != bins:
+        raise ValueError(
+            f"magnitude shape {magnitude.shape} has no axis of "
+            f"{bins} = fftWindowSize//2+1 frequency bins")
     if phase is not None and phaseIterations == 0:
         import jax.numpy as jnp
 
