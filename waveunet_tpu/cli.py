@@ -259,14 +259,22 @@ def cmd_stream(args):
     stream = StreamingSeparator(cfg, params,
                                 batch_windows=int(opts.get("batch_windows",
                                                            "8")))
-    # Warm up: replay the EXACT push/flush shape sequence of the timed run
-    # with zeros, so every jit program it can hit (append buckets for the
-    # chunk size AND the shorter final piece, every drain-k bucket, the
-    # flush's zero-append) is compiled before timing — first compiles cost
-    # minutes on the remote compiler and would swamp the reported throughput.
-    for i in range(0, audio.shape[0], chunk):
-        stream.push(np.zeros((min(chunk, audio.shape[0] - i),
-                              audio.shape[1]), np.float32))
+    # Warm up every jit program the timed run can hit — the append buckets
+    # for the chunk size AND the shorter final piece, the drain-k transient
+    # buckets, and a flush — WITHOUT replaying the whole song (that would
+    # double the command's wall-clock; the program set is O(1), not O(n)).
+    # First compiles cost minutes on the remote compiler and would swamp the
+    # reported throughput. (A flush whose ring state buckets differently
+    # from the warm flush may still compile one program inside the timed
+    # region — rare, pow2-bucketed.)
+    warm_pushes = (stream.latency_samples // chunk + 2
+                   + stream.batch * stream.out_len // max(chunk, 1))
+    warm = np.zeros((chunk, audio.shape[1]), np.float32)
+    for _ in range(warm_pushes):
+        stream.push(warm)
+    tail = audio.shape[0] % chunk
+    if tail:
+        stream.push(np.zeros((tail, audio.shape[1]), np.float32))
     stream.flush()
     stream.reset()
     outs = {s: [] for s in cfg.source_names}

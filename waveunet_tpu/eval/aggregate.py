@@ -53,7 +53,9 @@ def compute_mean_metrics(json_folder: str, compute_averages: bool = True,
     files = sorted(glob.glob(os.path.join(json_folder, "*.json")))
     inst: Dict[str, List[float]] = {}
     for path in files:
-        if path.endswith("test.json"):
+        # exact-name filter: endswith("test.json") would also drop any TRACK
+        # named *test (e.g. "soundtest.json") from the aggregates
+        if os.path.basename(path) == "test.json":
             continue
         with open(path) as f:
             js = json.load(f)

@@ -57,6 +57,13 @@ def spectrogramToAudioFile(magnitude: np.ndarray, fftWindowSize: int = 1024,
         raise ValueError(
             f"magnitude shape {magnitude.shape} has no axis of "
             f"{bins} = fftWindowSize//2+1 frequency bins")
+    elif magnitude.shape[0] == bins:
+        import warnings
+
+        warnings.warn(
+            f"square {magnitude.shape} spectrogram is ambiguous; assuming "
+            f"[frames, bins] — transpose explicitly if it is the reference's "
+            f"[bins, frames] orientation", stacklevel=2)
     if phase is not None and phaseIterations == 0:
         import jax.numpy as jnp
 
