@@ -56,6 +56,7 @@ def test_tpu_matches_host_production_filter():
     _assert_close(host, dev)
 
 
+@pytest.mark.filterwarnings("ignore::scipy.linalg.LinAlgWarning")
 def test_tpu_silent_reference_nan():
     rate = 512
     rng = np.random.default_rng(5)
@@ -99,6 +100,7 @@ def test_tpu_bsseval_on_mesh_matches_single_device():
                                     err_msg=k)
 
 
+@pytest.mark.filterwarnings("ignore::scipy.linalg.LinAlgWarning")
 def test_tpu_silent_estimate_nonfinite_matches_host():
     """A silent ESTIMATE makes several metric denominators exactly zero; the
     device path must reproduce the host's inf/nan semantics instead of

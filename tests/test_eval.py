@@ -59,6 +59,7 @@ def test_filtered_estimate_high_sar(rng):
     assert res["ISR"][0] < 10  # filtering shows up as spatial distortion
 
 
+@pytest.mark.filterwarnings("ignore::scipy.linalg.LinAlgWarning")
 def test_silent_reference_nan(rng):
     refs = _two_sources(rng)
     refs[1] = 0.0
