@@ -121,3 +121,21 @@ def test_separate_file_carries_model_state(model, tmp_path, rng):
     for p in written.values():
         est, esr = load(p, sr=None, mono=False)
         assert esr == sr and est.shape[0] == n and np.isfinite(est).all()
+
+
+def test_bf16_compute_parity(model, rng):
+    """Opt-in bf16 conv compute (inference only) stays close to fp32.
+    Measured on v5e: no speed or output difference at all — XLA:TPU already
+    lowers these fp32 convs through bf16 passes (DESIGN.md §1) — so the
+    default stays fp32; this pins that the opt-in path works."""
+    params, state = model
+    cfg16 = _CFG.replace(compute_dtype="bfloat16")
+    x = jnp.asarray(0.1 * rng.standard_normal(
+        (1, _CFG.num_frames, 1)).astype(np.float32))
+    a, _ = apply_spectrogram_unet(params, _CFG, x, training=False,
+                                  state=state)
+    b, _ = apply_spectrogram_unet(params, cfg16, x, training=False,
+                                  state=state)
+    for k in a:
+        err = float(jnp.max(jnp.abs(a[k] - b[k])))
+        assert err < 5e-3, (k, err)

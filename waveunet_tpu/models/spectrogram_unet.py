@@ -97,6 +97,13 @@ def apply_spectrogram_unet(params: Dict, cfg: Config, mix: jnp.ndarray,
     """mix [B, N, 1] -> ({source: audio [B, M, 1]} or magnitudes), new_state."""
     assert mix.shape[2] == 1, "spectrogram model is mono-only"
     L = cfg.num_layers
+    # Opt-in bf16 conv compute (Config.compute_dtype): unlike the time-domain
+    # net (layout-bound at 2-288 channels, measured no gain — DESIGN.md §1),
+    # U7's 5x5 convs reach 512 channels. STFT/iSTFT and the mask/BN math
+    # stay fp32. Inference only: conv2d's fp32 accumulation has no transpose
+    # rule for bf16 kernels (same limit as ops/conv.py:conv1d fp32_accum).
+    cdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+              and not training else None)
     spec = stft(mix[..., 0])                      # [B, F, 513]
     mix_mag = jnp.abs(spec)
     x0 = jnp.log1p(mix_mag)[..., None][:, :, :-1, :]  # [B, F, 512, 1]
@@ -112,7 +119,8 @@ def apply_spectrogram_unet(params: Dict, cfg: Config, mix: jnp.ndarray,
         for i in range(L):
             assert cur.shape[1] % 2 == 0 and cur.shape[2] % 2 == 0, (
                 f"spectrogram dims must halve cleanly, got {cur.shape}")
-            cur = conv2d(cur, params[f"{s}/down_{i}"], stride=(2, 2))
+            cur = conv2d(cur, params[f"{s}/down_{i}"], stride=(2, 2),
+                         compute_dtype=cdtype)
             cur, new_state[f"{s}/down_{i}_bn"] = _bn_apply(
                 cur, params[f"{s}/down_{i}_bn"]["beta"],
                 state[f"{s}/down_{i}_bn"], training)
@@ -120,7 +128,8 @@ def apply_spectrogram_unet(params: Dict, cfg: Config, mix: jnp.ndarray,
             if i < L - 1:
                 skips.append(cur)
         for i in range(L - 1):
-            cur = conv2d_transpose(cur, params[f"{s}/up_{i}"], stride=(2, 2))
+            cur = conv2d_transpose(cur, params[f"{s}/up_{i}"], stride=(2, 2),
+                                   compute_dtype=cdtype)
             cur, new_state[f"{s}/up_{i}_bn"] = _bn_apply(
                 cur, params[f"{s}/up_{i}_bn"]["beta"],
                 state[f"{s}/up_{i}_bn"], training)
@@ -131,7 +140,8 @@ def apply_spectrogram_unet(params: Dict, cfg: Config, mix: jnp.ndarray,
                 keep = jax.random.bernoulli(sub, 0.5, cur.shape)
                 cur = jnp.where(keep, cur / 0.5, 0.0)
         mask = jax.nn.sigmoid(
-            conv2d_transpose(cur, params[f"{s}/mask"], stride=(2, 2)))
+            conv2d_transpose(cur, params[f"{s}/mask"], stride=(2, 2),
+                             compute_dtype=cdtype))
         mask = pad_freqs(mask, mix_mag.shape[2], axis=2, value=0.5)[..., 0]
         masks[s] = mask
         mags[s] = mix_mag * mask
