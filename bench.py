@@ -75,17 +75,24 @@ def main():
     # Live compute roof: the bare jitted forward on device-resident windows,
     # K dispatches pipelined behind one sync so the tunnel's ~7 ms dispatch
     # latency amortises away — what the engine approaches on attached TPUs.
-    fwd = jax.jit(lambda p, x: apply_waveunet(p, cfg, x, training=False))
+    # The fn returns a checksum scalar and the sync is a VALUE fetch: the
+    # axon client's block_until_ready has been observed returning without
+    # actually syncing (reads of <1 ms for a 20 ms graph), and a scalar D2H
+    # cannot lie. Device execution is in-order, so fetching the LAST call's
+    # value bounds all K.
+    fwd = jax.jit(lambda p, x: sum(
+        jnp.sum(v) for v in apply_waveunet(p, cfg, x, training=False
+                                           ).values()))
     win_in, win_out = shapes.get_padding(cfg, cfg.infer_num_frames)
     x = jax.device_put(jnp.asarray(rng.standard_normal(
         (cfg.infer_batch, win_in, 2)).astype(np.float32)))
-    jax.block_until_ready(fwd(params, x))
+    float(fwd(params, x))
     K = 8
     roof_best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [fwd(params, x) for _ in range(K)]
-        jax.block_until_ready(outs[-1])
+        vals = [fwd(params, x) for _ in range(K)]
+        float(vals[-1])
         dt = (time.perf_counter() - t0) / K
         roof_best = dt if roof_best is None else min(roof_best, dt)
     roof = cfg.infer_batch * win_out / sr / roof_best

@@ -58,17 +58,22 @@ def main():
            "platform": jax.devices()[0].platform}
 
     if mode == "roof":
-        fwd = jax.jit(lambda p, x: apply_waveunet(p, cfg, x, training=False))
+        # checksum-scalar output + value-fetch sync: the axon client's
+        # block_until_ready has been observed returning without syncing
+        # (bench.py has the same guard); a scalar D2H cannot lie.
+        fwd = jax.jit(lambda p, x: sum(
+            jnp.sum(v)
+            for v in apply_waveunet(p, cfg, x, training=False).values()))
         x = jnp.asarray(np.random.default_rng(0).standard_normal(
             (batch, in_len, cfg.num_channels)).astype(np.float32))
         x = jax.device_put(x)
         t0 = time.perf_counter()
-        jax.block_until_ready(fwd(params, x))
+        float(fwd(params, x))
         rec["first_call_s"] = round(time.perf_counter() - t0, 3)
         times = []
         for _ in range(8):
             t0 = time.perf_counter()
-            jax.block_until_ready(fwd(params, x))
+            float(fwd(params, x))
             times.append(time.perf_counter() - t0)
         best = min(times)
         rec["forward_ms"] = round(best * 1e3, 3)
@@ -78,8 +83,8 @@ def main():
         best_p = None
         for _ in range(3):
             t0 = time.perf_counter()
-            outs = [fwd(params, x) for _ in range(K)]
-            jax.block_until_ready(outs[-1])
+            vals = [fwd(params, x) for _ in range(K)]
+            float(vals[-1])  # value fetch = real sync (in-order execution)
             dt = (time.perf_counter() - t0) / K
             best_p = dt if best_p is None else min(best_p, dt)
         rec["forward_pipelined_ms"] = round(best_p * 1e3, 3)
