@@ -132,7 +132,7 @@ def main():
 
         def run_once(p, ms, os_):
             p, ms, os_, loss = step(p, ms, os_, batch_d, key)
-            jax.block_until_ready(loss)
+            float(loss)  # value fetch = real sync (block_until_ready hazard)
             return p, ms, os_
 
         t0 = time.perf_counter()
