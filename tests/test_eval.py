@@ -245,3 +245,38 @@ def test_separate_track_stereo_model_mono_track():
     for s, est in out.items():
         assert est.shape == mix.shape, s
         np.testing.assert_allclose(est, 0.5 * mix, atol=1e-6)
+
+
+def test_harness_multi_instrument_tpu_bss(tmp_path, rng):
+    """The device-batched scorer handles the 4-source multi_instrument task
+    through the full harness (host-path agreement pinned separately in
+    test_bsseval_tpu)."""
+    import jax
+
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.data.audio_io import write_wav
+    from waveunet_tpu.eval.harness import evaluate_musdb
+    from waveunet_tpu.models.waveunet import init_waveunet
+
+    sr = 8192
+    n = sr * 2
+    cfg = get_config("full_multi_instrument", num_layers=3, num_frames=1024,
+                     num_initial_filters=8, expected_sr=sr,
+                     musdb_path=str(tmp_path / "db"))
+    d = tmp_path / "db" / "test" / "songM"
+    d.mkdir(parents=True)
+    t = np.arange(n) / sr
+    stems = {}
+    for j, s in enumerate(("bass", "drums", "other", "vocals")):
+        sig = (0.2 * np.sin(2 * np.pi * (100 + 120 * j) * t)).astype(np.float32)
+        stems[s] = np.tile(sig[:, None], (1, 2))
+        write_wav(str(d / f"{s}.wav"), stems[s], sr)
+    write_wav(str(d / "mixture.wav"), sum(stems.values()), sr)
+
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    stats = evaluate_musdb(cfg, params, subset="test",
+                           output_path=str(tmp_path / "est"), max_tracks=1,
+                           tpu_bss=True)
+    assert len(stats) == 4
+    for med, mad, mean, sd in stats:
+        assert np.isfinite(med) and np.isfinite(mean)
