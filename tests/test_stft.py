@@ -82,3 +82,32 @@ def test_shim_accepts_reference_orientation():
     np.testing.assert_allclose(ref_orient, ours, atol=1e-6)
     with pytest.raises(ValueError, match="frequency bins"):
         utils.spectrogramToAudioFile(mag[:, :-1])  # no axis == bins
+
+
+def test_strip_framing_and_ola_match_naive_oracles():
+    """The hop-strip reshape forms of frame_signal / the iSTFT overlap-add
+    (round-2 TPU gather/scatter removal) against naive index-matrix oracles,
+    across hop<frame (multi-strip), hop==frame, and hop>frame (gap) combos."""
+    rng = np.random.default_rng(0)
+    for fl, hop in ((1024, 768), (8, 4), (8, 8), (8, 3), (6, 8), (16, 5),
+                    (7, 7)):
+        for n in (fl, fl + 1, fl + hop - 1, fl + 5 * hop + 3, 3 * fl + 2):
+            x = rng.standard_normal((2, n)).astype(np.float32)
+            F = S.num_frames(n, fl, hop)
+            idx = np.arange(F)[:, None] * hop + np.arange(fl)[None, :]
+            want = (x[..., idx] if F else
+                    np.zeros((2, 0, fl), np.float32))
+            got = np.asarray(S.frame_signal(jnp.asarray(x), fl, hop))
+            np.testing.assert_array_equal(got, want, err_msg=f"{fl}/{hop}/{n}")
+            if F == 0:
+                continue
+            frames = rng.standard_normal((2, F, fl)).astype(np.float32)
+            w_syn = S._synthesis_window(fl, hop).astype(np.float32)
+            out_len = hop * (F - 1) + fl
+            want_o = np.zeros((2, out_len), np.float32)
+            for f_ in range(F):
+                want_o[:, f_ * hop:f_ * hop + fl] += frames[:, f_] * w_syn
+            spec = jnp.fft.rfft(jnp.asarray(frames), n=fl, axis=-1)
+            got_o = np.asarray(S.istft(spec, fl, hop))
+            np.testing.assert_allclose(got_o, want_o, atol=2e-4,
+                                       err_msg=f"{fl}/{hop}/{n}")
