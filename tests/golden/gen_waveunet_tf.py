@@ -46,6 +46,11 @@ CASES = {
     # production scale: the full M5-HighSR architecture (12 layers, 24 init
     # filters, 16384-frame window -> input 147443) at batch 1
     "full_44khz_production": dict(preset="full_44KHz", batch=1),
+    # EVEN conv widths in SAME mode: pins the dilate decimation lowering's
+    # asymmetric (2*lo, 2*hi) pads against TF's own SAME conv + [::2] slice
+    "same_evenfilter_mono": dict(
+        preset="baseline", num_layers=3, num_frames=512, filter_size=16,
+        merge_filter_size=6, num_initial_filters=6),
 }
 
 

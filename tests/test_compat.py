@@ -28,6 +28,10 @@ _CASES = {
         num_initial_filters=8),
     # the full M5-HighSR production architecture (12 layers, 10.2M params)
     "full_44khz_production": dict(preset="full_44KHz"),
+    # even conv widths, SAME mode (dilate lowering's asymmetric pads vs TF)
+    "same_evenfilter_mono": dict(
+        preset="baseline", num_layers=3, num_frames=512, filter_size=16,
+        merge_filter_size=6, num_initial_filters=6),
 }
 
 
