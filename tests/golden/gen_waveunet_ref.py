@@ -231,6 +231,11 @@ CASES = {
     # convs + reconstructed last source (Config.py:112-122, OutputLayer.py:11)
     "multi_instrument_4src": dict(preset="full_multi_instrument", num_layers=3,
                                   num_frames=512, num_initial_filters=8),
+    # even conv widths, SAME mode: the reference's own graph is the oracle
+    # for the dilate lowering's asymmetric pads
+    "same_evenfilter_mono": dict(
+        preset="baseline", num_layers=3, num_frames=512, filter_size=16,
+        merge_filter_size=6, num_initial_filters=6),
 }
 
 
