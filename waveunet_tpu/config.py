@@ -46,6 +46,10 @@ class Config:
     num_workers: int = 4
     num_snippets_per_track: int = 100
     augmentation: bool = True
+    # Validation split size out of the train set (the reference hardcodes 25,
+    # `Datasets.py:140-142` — which nearly drains a small custom dataset's
+    # train partition; the split never takes the last train song either way).
+    num_val_songs: int = 25
 
     # --- architecture ---
     network: str = "unet"  # "unet" | "unet_spectrogram"

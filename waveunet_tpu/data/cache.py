@@ -120,9 +120,9 @@ def prepare_dataset(cfg: Config, pad_frames: int,
         return
     train_list, test_list = get_musdb(cfg.musdb_path)
     rng = np.random.RandomState(cfg.seed if seed is None else seed)
-    # 25 validation songs like the reference (`Datasets.py:140`), but never
-    # drain a small dataset's train partition.
-    n_val = min(25, max(0, len(train_list) - 1))
+    # cfg.num_val_songs validation songs (reference: 25, `Datasets.py:140`),
+    # but never drain a small dataset's train partition.
+    n_val = min(cfg.num_val_songs, max(0, len(train_list) - 1))
     val_idx = rng.choice(len(train_list), size=n_val, replace=False)
     val_set = set(int(i) for i in val_idx)
     partitions = {
