@@ -191,16 +191,21 @@ class Separator:
             if self._song_sharding is not None:
                 song = jax.device_put(song, self._song_sharding)
             for k in ks:
-                jax.block_until_ready(
-                    self._fwd(self.params, song, jnp.zeros((k,), jnp.int32)))
+                res = self._fwd(self.params, song,
+                                jnp.zeros((k,), jnp.int32))
+                # fetch (not block_until_ready, which the tunnel client has
+                # been seen no-op'ing): the warmup CLI exits right after, and
+                # compiles must have persisted to the cache by then
+                np.asarray(next(iter(res.values())))
                 count += 1
         # slab-mode programs (single-device auto/explicit path)
         if self.mesh is None:
             for k in ks:
                 slab = jnp.zeros(((k - 1) * self.out_len + self.in_len, n_ch),
                                  dt)
-                jax.block_until_ready(
-                    self._fwd(self.params, slab, jnp.zeros((k,), jnp.int32)))
+                res = self._fwd(self.params, slab,
+                                jnp.zeros((k,), jnp.int32))
+                np.asarray(next(iter(res.values())))
                 count += 1
         return count
 
