@@ -301,3 +301,37 @@ def test_device_bank_set_batch(tmp_path, cfg):
     assert bank.arrays[0] is arr0  # same device buffer, no re-upload
     b = next(bank.batches(jax.random.PRNGKey(0)))
     assert b["mix"].shape[0] == 4
+
+
+def test_num_val_songs_knob(tmp_path):
+    """prepare_dataset's validation split respects cfg.num_val_songs (the
+    reference's hardcoded 25 nearly drains small custom datasets) and never
+    takes the last train song."""
+    from waveunet_tpu.data.audio_io import write_wav
+    from waveunet_tpu.ops import shapes
+
+    cfg = get_config("baseline", num_layers=3, num_frames=1024,
+                     expected_sr=8192, num_val_songs=2,
+                     musdb_path=str(tmp_path / "db"),
+                     data_path=str(tmp_path / "c"))
+    sr = cfg.expected_sr
+    for part, names in (("train", ("a", "b", "c")), ("test", ("t",))):
+        for name in names:
+            d = tmp_path / "db" / part / name
+            d.mkdir(parents=True)
+            n = sr * 2
+            t = np.arange(n) / sr
+            v = (0.3 * np.sin(2 * np.pi * 440 * t))[:, None].astype(np.float32)
+            a = (0.3 * np.sin(2 * np.pi * 220 * t))[:, None].astype(np.float32)
+            write_wav(str(d / "vocals.wav"), v, sr)
+            write_wav(str(d / "accompaniment.wav"), a, sr)
+            write_wav(str(d / "mixture.wav"), v + a, sr)
+    cache.prepare_dataset(cfg, shapes.context_pad(cfg, cfg.num_frames))
+    assert len(cache.list_songs(cfg, "train")) == 1
+    assert len(cache.list_songs(cfg, "valid")) == 2
+    assert len(cache.list_songs(cfg, "test")) == 1
+    # a huge request still leaves one train song
+    cfg9 = cfg.replace(num_val_songs=99, data_path=str(tmp_path / "c9"))
+    cache.prepare_dataset(cfg9, shapes.context_pad(cfg9, cfg9.num_frames))
+    assert len(cache.list_songs(cfg9, "train")) == 1
+    assert len(cache.list_songs(cfg9, "valid")) == 2
