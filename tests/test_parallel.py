@@ -170,6 +170,75 @@ def test_pod_two_processes(tmp_path):
     np.testing.assert_allclose(by_pid[0]["loss"], loss_1p, rtol=1e-5)
 
 
+def test_pod_two_process_cli_train(tmp_path):
+    """The pod path as a PRODUCT surface: two processes each run the real
+    `cli train` command (coordinator=/num_processes=/process_id= options),
+    sharing a coordinator over gloo. Both must converge with IDENTICAL
+    validation/test losses (every loss is a cross-process collective), train
+    from per-host device banks over disjoint song subsets, and only process 0
+    writes checkpoints/metrics."""
+    import json
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    from tests.test_integration import _make_cache
+
+    cfg_kw = dict(num_layers=2, num_frames=256, num_initial_filters=4,
+                  batch_size=4, epoch_it=2, num_snippets_per_track=4,
+                  cache_size=8, worse_epochs=1,
+                  data_path=str(tmp_path / "cache"))
+    cfg = get_config("baseline", **cfg_kw)
+    _make_cache(tmp_path, cfg, n_songs=4)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    args = (["baseline"]
+            + [f"{k}={v}" for k, v in cfg_kw.items()]
+            + [f"model_base_dir={tmp_path / 'ckpts'}",
+               f"log_dir={tmp_path / 'logs'}",
+               "experiment_id=podtrain", "max_epochs=1"])
+    worker = os.path.join(os.path.dirname(__file__), "helpers",
+                          "pod_train_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), json.dumps(args)],
+        env=dict(os.environ), stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, (err.decode()[-3000:], out.decode()[-1000:])
+        outs.append(out.decode())
+
+    # per-host device banks over DISJOINT song subsets (the cache has 4
+    # train songs; round-robin split 2/2, summing to the full partition)
+    banks = [re.search(r"per-host bank: (\d+) songs", o) for o in outs]
+    assert all(banks), outs
+    assert sorted(int(m.group(1)) for m in banks) == [2, 2]
+
+    # identical loss trajectories: validation lines + final test loss
+    def losses(o):
+        vals = re.findall(r"Validation (?:improved .* -> |worsened to )"
+                          r"([0-9.eE+-]+|inf)", o)
+        final = re.search(r"Best model: (.*); test loss ([0-9.eE+-]+)", o)
+        assert vals and final, o[-2000:]
+        return [float(v) for v in vals], final.group(1), float(final.group(2))
+
+    (v0, best0, t0), (v1, best1, t1) = losses(outs[0]), losses(outs[1])
+    assert v0 == v1 and t0 == t1 and best0 == best1
+    assert all(np.isfinite(v) for v in v0) and np.isfinite(t0)
+    # 1 epoch x 2 rounds ran
+    assert len(v0) == 2
+
+    # only process 0 wrote checkpoints + metrics; best_path exists
+    assert os.path.isdir(best0), best0
+    assert os.path.exists(tmp_path / "logs" / "podtrain" / "metrics.jsonl")
+    assert os.path.exists(tmp_path / "ckpts" / "podtrain" / "best.txt")
+
+
 def test_scanned_epoch_on_mesh_matches_single_device(tmp_path):
     """The whole-epoch lax.scan with in-scan data-sharded batches produces
     the same training trajectory as its single-device counterpart."""

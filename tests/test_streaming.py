@@ -12,7 +12,11 @@ from waveunet_tpu.models.waveunet import init_waveunet
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = get_config("baseline_context", num_layers=3, num_frames=256)
+    # infer_num_frames=None: the stream runs at the training window, so the
+    # offline oracle must too (the -1 auto default picks a larger window
+    # whose decimation phases differ — quality-equal, not byte-equal).
+    cfg = get_config("baseline_context", num_layers=3, num_frames=256,
+                     infer_num_frames=None)
     params = init_waveunet(jax.random.PRNGKey(0), cfg)
     n = 2000
     rng = np.random.default_rng(1337)  # module-local (rng fixture is per-test)
@@ -143,7 +147,7 @@ def test_stream_matches_offline_learned_stereo():
     """Streaming parity on the learned-interp difference stereo family (the
     module fixture covers bilinear mono only)."""
     cfg = get_config("full", num_layers=3, num_frames=256,
-                     num_initial_filters=6)
+                     num_initial_filters=6, infer_num_frames=None)
     params = init_waveunet(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(7)
     audio = (0.1 * rng.standard_normal((1500, 2))).astype(np.float32)

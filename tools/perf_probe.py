@@ -186,7 +186,10 @@ def main():
             p, ms, os_, losses = epoch_fn(p, ms, os_, bank, starts, valids,
                                           jax.random.PRNGKey(1),
                                           jax.random.PRNGKey(2), 0)
-            jax.block_until_ready(losses)
+            # value fetch, not block_until_ready: the axon client's
+            # block_until_ready intermittently returns without syncing
+            # (CLAUDE.md); a scalar D2H of the last loss cannot lie.
+            float(losses[-1])
             return p, ms, os_
 
         t0 = time.perf_counter()

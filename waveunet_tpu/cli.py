@@ -39,7 +39,7 @@ def _split_args(args: List[str]) -> Tuple[List[str], Dict[str, str]]:
     cli_keys = {"input_path", "output_path", "checkpoint", "subset",
                 "experiment_id", "max_epochs", "win_s", "max_tracks",
                 "final_eval", "tpu_bss", "chunk_ms", "batch_windows",
-                "max_song_s"}
+                "max_song_s", "coordinator", "num_processes", "process_id"}
     cfg_frags, opts = [], {}
     for a in args:
         if "=" in a:
@@ -70,12 +70,41 @@ def cmd_train(args):
 
     cfg_frags, opts = _split_args(args)
     cfg = config_from_cli(cfg_frags)
+    # Multi-host (pod) bring-up BEFORE any device use: after initialize(),
+    # jax.devices() spans every process and the mesh below is global. One
+    # command per host, e.g.
+    #   cli train full_44KHz coordinator=host0:1234 num_processes=4 \
+    #       process_id=<i> experiment_id=run1
+    # (on GCE TPU pods, plain `cli train ...` autodetects instead).
+    if "coordinator" in opts or "num_processes" in opts:
+        from waveunet_tpu.parallel import distributed as D
+        pid = D.initialize(
+            coordinator_address=opts.get("coordinator"),
+            num_processes=(int(opts["num_processes"])
+                           if "num_processes" in opts else None),
+            process_id=(int(opts["process_id"])
+                        if "process_id" in opts else None))
+        print(f"pod process {pid}/{jax.process_count()} up; "
+              f"{jax.device_count()} global devices")
     if not cache.is_prepared(cfg):
-        pad = shapes.context_pad(cfg, cfg.num_frames)
-        print("Preparing dataset cache...")
-        cache.prepare_dataset(cfg, pad)
-    n_dev = len(jax.devices())
-    if n_dev > 1 and cfg.batch_size % n_dev == 0:
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # one preparer; the rest poll for the completion marker
+            import time as _time
+            print("waiting for process 0 to prepare the dataset cache...")
+            while not cache.is_prepared(cfg):
+                _time.sleep(2.0)
+        else:
+            pad = shapes.context_pad(cfg, cfg.num_frames)
+            print("Preparing dataset cache...")
+            cache.prepare_dataset(cfg, pad)
+    n_dev = jax.device_count()
+    if jax.process_count() > 1:
+        if cfg.batch_size % n_dev:
+            print(f"error: batch_size {cfg.batch_size} must divide across "
+                  f"{n_dev} pod devices", file=sys.stderr)
+            sys.exit(2)
+        mesh = make_mesh()
+    elif n_dev > 1 and cfg.batch_size % n_dev == 0:
         mesh = make_mesh()
     else:
         if n_dev > 1:

@@ -105,11 +105,20 @@ class Config:
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)
     infer_batch: int = 16  # windows per device batch in the inference engine
-    # Inference window size (desired output samples per window). None = use
-    # num_frames (the reference's behavior). Larger windows amortise the
-    # valid-conv context: at 16384 the net recomputes ~9x overlapped context
-    # (in 147k / out 16k); at 262144 the overlap ratio drops to ~1.5x.
-    infer_num_frames: Optional[int] = None
+    # Inference window size (desired output samples per window).
+    #   -1   = auto (DEFAULT): smallest pow2 window with <= 3x context overlap
+    #          (ops/shapes.auto_infer_frames) — a measured 2-3x compute win for
+    #          the context models, identity for the rest;
+    #   None = num_frames, the reference's behavior (`Evaluate.py:34-39`) —
+    #          what the byte-parity tests pin;
+    #   int  = explicit window.
+    # Larger windows amortise the valid-conv context: at 16384 the net
+    # recomputes ~9x overlapped context (in 147k / out 16k); at 65536 the
+    # overlap drops to 3.0x. Window choice changes the decimation phase each
+    # output sample sees (x[::2] alignment), so outputs across window sizes
+    # agree in quality but not bit-for-bit — see
+    # tests/test_infer.py::test_auto_window_interior_invariance.
+    infer_num_frames: Optional[int] = -1
     # Host->device wire format for full songs: "float32" (exact) or "int16"
     # (2x less transfer; bit-exact for PCM16-derived audio).
     infer_wire_dtype: str = "float32"
@@ -134,6 +143,11 @@ class Config:
         if self.decimate_lowering not in ("dilate", "slice"):
             raise NotImplementedError(
                 f"unknown decimate_lowering {self.decimate_lowering!r}")
+        if self.num_val_songs < 0:
+            # A negative value would flow into rng.choice(size=n) during
+            # dataset preparation and die with an opaque numpy error.
+            raise ValueError(
+                f"num_val_songs must be >= 0, got {self.num_val_songs}")
         srcs = _TASK_SOURCES[self.task]
         object.__setattr__(self, "source_names", srcs)
         object.__setattr__(self, "num_sources", len(srcs))

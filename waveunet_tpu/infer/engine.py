@@ -68,7 +68,7 @@ class Separator:
         self.cfg = cfg
         self.params = params
         frames = cfg.infer_num_frames or cfg.num_frames
-        if frames == -1:  # auto: tuned large window (overlap <= 3x)
+        if frames == -1:  # auto (Config default): tuned window, overlap <= 3x
             frames = shapes.auto_infer_frames(cfg)
         self.in_len, self.out_len = shapes.get_padding(cfg, frames)
         self.pad = (self.in_len - self.out_len) // 2
@@ -193,10 +193,12 @@ class Separator:
             for k in ks:
                 res = self._fwd(self.params, song,
                                 jnp.zeros((k,), jnp.int32))
-                # fetch (not block_until_ready, which the tunnel client has
-                # been seen no-op'ing): the warmup CLI exits right after, and
-                # compiles must have persisted to the cache by then
-                np.asarray(next(iter(res.values())))
+                # scalar value fetch (not block_until_ready, which the tunnel
+                # client has been seen no-op'ing): the warmup CLI exits right
+                # after, and compiles must have persisted to the cache by
+                # then. One element — not the whole [K, out_len, ch] source,
+                # which is several MB over the ~0.03 GB/s link per program.
+                np.asarray(next(iter(res.values()))[0, 0, 0])
                 count += 1
         # slab-mode programs (single-device auto/explicit path)
         if self.mesh is None:
@@ -205,7 +207,7 @@ class Separator:
                                  dt)
                 res = self._fwd(self.params, slab,
                                 jnp.zeros((k,), jnp.int32))
-                np.asarray(next(iter(res.values())))
+                np.asarray(next(iter(res.values()))[0, 0, 0])
                 count += 1
         return count
 

@@ -53,8 +53,13 @@ class StreamingSeparator:
                 "only (the spectrogram model has no streaming path)")
         self.cfg = cfg
         frames = cfg.infer_num_frames or cfg.num_frames
-        if frames == -1:  # auto-tuned window (see ops/shapes.auto_infer_frames)
-            frames = shapes.auto_infer_frames(cfg)
+        if frames == -1:
+            # The offline engine's auto window (-1, the Config default) tunes
+            # for throughput; streaming's contract is LATENCY, and the
+            # algorithmic latency grows with in_len. Keep the training window
+            # here — pass an explicit infer_num_frames int to trade latency
+            # for throughput deliberately.
+            frames = cfg.num_frames
         self.in_len, self.out_len = shapes.get_padding(cfg, frames)
         self.pad = (self.in_len - self.out_len) // 2
         self.batch = max(1, batch_windows)

@@ -66,12 +66,60 @@ def make_pod_pipeline(cfg: Config, partition: str, input_len: int,
                          seed=seed)
 
 
+def make_pod_bank(cfg: Config, partition: str, input_len: int,
+                  output_len: int, batch_size: Optional[int] = None):
+    """Per-host device-resident bank: this host's disjoint song subset in its
+    own HBM, sampling its rows of the global batch (zero host audio bytes per
+    step — the pod-scale form of the single-host DeviceBank)."""
+    from waveunet_tpu.data.device_cache import DeviceBank
+
+    n_proc = jax.process_count()
+    global_batch = batch_size or cfg.batch_size
+    per_host_batch = global_batch // n_proc
+    if per_host_batch * n_proc != global_batch:
+        raise ValueError("batch_size must divide evenly across hosts")
+    return DeviceBank(cfg, partition, input_len, output_len,
+                      batch_size=per_host_batch,
+                      max_bytes=cfg.device_data_max_bytes,
+                      host_id=jax.process_index(), num_hosts=n_proc)
+
+
 def global_batch_from_local(mesh: jax.sharding.Mesh, local_batch: dict):
-    """Assemble the globally-sharded batch arrays from this host's shard."""
+    """Assemble the globally-sharded batch arrays from this host's shard.
+
+    Device-resident local arrays (a pod bank's sampled batch) are split
+    across this host's addressable mesh devices WITHOUT a host round-trip
+    (``make_array_from_single_device_arrays``); numpy shards take the
+    host-upload path (``make_array_from_process_local_data``).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P(mesh.axis_names, None, None))
-    return {
-        k: jax.make_array_from_process_local_data(sharding, v)
-        for k, v in local_batch.items()
-    }
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    out = {}
+    for k, v in local_batch.items():
+        if isinstance(v, jax.Array):
+            global_shape = (v.shape[0] * n_proc,) + v.shape[1:]
+            local_rows = slice(pid * v.shape[0], (pid + 1) * v.shape[0])
+            shards = []
+            for dev, idx in sharding.devices_indices_map(global_shape).items():
+                if dev.process_index != pid:
+                    continue
+                r = idx[0]
+                if not (local_rows.start <= r.start
+                        and r.stop <= local_rows.stop):
+                    # mesh lays this host's rows non-contiguously; fall back
+                    # to the host path rather than mis-assemble
+                    shards = None
+                    break
+                shards.append(jax.device_put(
+                    v[r.start - local_rows.start:r.stop - local_rows.start],
+                    dev))
+            if shards is not None:
+                out[k] = jax.make_array_from_single_device_arrays(
+                    global_shape, sharding, shards)
+                continue
+            v = np.asarray(v)
+        out[k] = jax.make_array_from_process_local_data(sharding, v)
+    return out

@@ -63,6 +63,24 @@ def make_train_source(cfg: Config, in_len: int, out_len: int,
     return None, pipe.prefetched(pipe.train_batches())
 
 
+def make_eval_source(cfg: Config, partition: str, in_len: int, out_len: int,
+                     batch_size: Optional[int] = None):
+    """Device-resident :class:`EvalBank` when it fits (zero per-epoch host
+    transfer), else None (callers fall back to the host pipeline)."""
+    if cfg.device_data:
+        try:
+            from waveunet_tpu.data.device_cache import EvalBank
+            bank = EvalBank(cfg, partition, in_len, out_len,
+                            batch_size=batch_size or cfg.batch_size,
+                            max_bytes=cfg.device_data_max_bytes)
+            print(f"Evaluating {partition!r} from device-resident bank: "
+                  f"{bank.n_windows} windows, {bank.nbytes() / 1e6:.0f} MB HBM")
+            return bank
+        except (FileNotFoundError, ValueError) as e:
+            print(f"Device eval bank unavailable ({e}); using host pipeline")
+    return None
+
+
 def init_state(cfg: Config, rng=None) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     if cfg.network == "unet":
@@ -84,7 +102,8 @@ def train_one_epoch(cfg: Config, state: TrainState, step_fn,
     t0 = time.time()
     for it in range(cfg.epoch_it):
         batch = next(batches)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch = {k: v if isinstance(v, jax.Array) else jnp.asarray(v)
+                 for k, v in batch.items()}
         rng = jax.random.fold_in(base_rng, state.step + it)
         params, mstate, opt_state, loss = step_fn(params, mstate, opt_state,
                                                   batch, rng)
@@ -135,7 +154,8 @@ def evaluate(cfg: Config, params, model_state, eval_step,
     """Running-mean loss over one deterministic pass (`Test.py:73-79`)."""
     total, n = 0.0, 0
     for batch in batches:
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch = {k: v if isinstance(v, jax.Array) else jnp.asarray(v)
+                 for k, v in batch.items()}
         loss = float(eval_step(params, model_state, batch))
         n += 1
         total += (loss - total) / n
@@ -147,19 +167,66 @@ def evaluate(cfg: Config, params, model_state, eval_step,
     return total
 
 
+def _pod_host_evaluate(cfg: Config, params, model_state, eval_step, mesh,
+                       partition: str, in_len: int, out_len: int) -> float:
+    """Pod-safe host-fed eval fallback: EVERY process streams the FULL
+    partition (identical batch count everywhere — per-host disjoint subsets
+    would drop different remainders and deadlock the collective when one host
+    exhausts first) and contributes only its row slice of each batch to the
+    global array."""
+    from waveunet_tpu.parallel import distributed as D
+
+    pipe = BatchPipeline(cfg, partition, in_len, out_len, seed=cfg.seed)
+    sl = D.local_batch_slice(pipe.batch)
+
+    def it():
+        for b in pipe.eval_batches():
+            yield D.global_batch_from_local(
+                mesh, {k: v[sl] for k, v in b.items()})
+
+    return evaluate(cfg, params, model_state, eval_step, it())
+
+
 def optimise(cfg: Config, experiment_id: Optional[str] = None,
              mesh: Optional[jax.sharding.Mesh] = None,
              resume_path: Optional[str] = None,
              max_epochs_per_round: Optional[int] = None) -> Tuple[str, float]:
-    """Full early-stopped two-round training. Returns (best_ckpt_path, test_loss)."""
+    """Full early-stopped two-round training. Returns (best_ckpt_path, test_loss).
+
+    Multi-host (pod) mode engages automatically when ``jax.process_count()``
+    > 1 (bring the processes up first — ``parallel.distributed.initialize``
+    or the CLI's ``coordinator=/num_processes=/process_id=`` options): every
+    process runs this same driver SPMD-style; songs shard per host (device
+    bank or pipeline), each host feeds its rows of the global batch, XLA
+    all-reduces gradients across hosts, and losses/early-stop decisions are
+    identical everywhere by construction. Only process 0 writes checkpoints,
+    logs, and the best-model marker. Requires ``mesh`` spanning all
+    processes' devices.
+    """
+    n_proc = jax.process_count()
+    pod = n_proc > 1
+    is_main = jax.process_index() == 0
+    if pod:
+        if mesh is None:
+            raise ValueError("pod training requires a mesh over the global "
+                             "device set (parallel.mesh.make_mesh())")
+        from waveunet_tpu.parallel import distributed as D
     if experiment_id is None:
-        experiment_id = str(np.random.randint(0, 1_000_000))
+        if pod:
+            # must agree across processes: derive deterministically
+            import hashlib
+            experiment_id = "pod-" + hashlib.sha1(
+                cfg.to_json().encode()).hexdigest()[:8]
+        else:
+            experiment_id = str(np.random.randint(0, 1_000_000))
     in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
-    logger = MetricLogger(cfg.log_dir, experiment_id)
-    # Capture the exact run configuration (sacred's role in the reference,
-    # `Training.py:17-22`): reproducibility record next to the metrics.
-    with open(os.path.join(logger.dir, "config.json"), "w") as f:
-        f.write(cfg.to_json())
+    logger = MetricLogger(cfg.log_dir, experiment_id) if is_main else None
+    if is_main:
+        # Capture the exact run configuration (sacred's role in the
+        # reference, `Training.py:17-22`): reproducibility record next to
+        # the metrics.
+        with open(os.path.join(logger.dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
 
     state = init_state(cfg)
     print(f"Sep_Vars: {num_params(state.params)}")
@@ -174,6 +241,8 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
     round_cfgs = [cfg, cfg.replace(batch_size=cfg.batch_size * 2,
                                    init_sup_sep_lr=1e-5)]
     bank = None
+    valid_bank = None
+    valid_bank_tried = False
     for rnd, rcfg in enumerate(round_cfgs):
         if rnd == 1:
             print("Finished first round of training, entering fine-tuning stage")
@@ -190,26 +259,65 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
         # round 2. optax.adam state layout is lr-independent, so the same
         # opt_state threads straight into the new step_fn.
 
-        if bank is None:
-            bank, train_it = make_train_source(rcfg, in_len, out_len,
-                                               seed_offset=rnd)
+        if pod:
+            # Per-host data: each process holds/streams a disjoint song
+            # subset and assembles its rows into the global batch
+            # (zero cross-host audio traffic; the gradient all-reduce is
+            # the only inter-host tensor exchange).
+            if bank is None:
+                if rcfg.device_data:
+                    try:
+                        bank = D.make_pod_bank(rcfg, "train", in_len, out_len)
+                        print(f"[pod {jax.process_index()}] per-host bank: "
+                              f"{bank.n_songs} songs, "
+                              f"{bank.nbytes() / 1e6:.0f} MB HBM")
+                    except (FileNotFoundError, ValueError) as e:
+                        print(f"pod device bank unavailable ({e}); "
+                              f"using host pipeline")
+            else:
+                bank.set_batch(rcfg.batch_size // n_proc)
+            if bank is not None:
+                local_it = bank.batches(jax.random.PRNGKey(rcfg.seed + rnd))
+            else:
+                pipe = D.make_pod_pipeline(rcfg, "train", in_len, out_len,
+                                           seed=rcfg.seed + rnd)
+                local_it = pipe.prefetched(pipe.train_batches())
+            train_it = (D.global_batch_from_local(mesh, lb)
+                        for lb in local_it)
+            # The scanned epoch samples inside one jitted program; with
+            # per-host banks the sample is host-local, so pod mode keeps the
+            # eager per-step loop (still zero host bytes via the bank).
         else:
-            # Round 2+ reuses the round-1 device bank — its contents are
-            # byte-identical (only batch_size/lr change); rebuilding would
-            # re-upload the multi-GB int16 bank over the host link for
-            # nothing (round-2 review finding).
-            bank.set_batch(rcfg.batch_size)
-        if bank is not None and cfg.scan_epoch:
-            # Whole-epoch lax.scan over the device bank: one dispatch per
-            # epoch instead of epoch_it (`make_scanned_epoch`); on a mesh the
-            # in-scan batch shards over the data axis.
-            from waveunet_tpu.train.step import make_scanned_epoch
-            epoch_fn = make_scanned_epoch(rcfg, rcfg.init_sup_sep_lr,
-                                          rcfg.epoch_it, bank.sample_raw,
-                                          mesh=mesh)
-            data_key = jax.random.PRNGKey(rcfg.seed + rnd)
-        elif bank is not None:
-            train_it = bank.batches(jax.random.PRNGKey(rcfg.seed + rnd))
+            if bank is None:
+                bank, train_it = make_train_source(rcfg, in_len, out_len,
+                                                   seed_offset=rnd)
+            else:
+                # Round 2+ reuses the round-1 device bank — its contents are
+                # byte-identical (only batch_size/lr change); rebuilding would
+                # re-upload the multi-GB int16 bank over the host link for
+                # nothing (round-2 review finding).
+                bank.set_batch(rcfg.batch_size)
+            if bank is not None and cfg.scan_epoch:
+                # Whole-epoch lax.scan over the device bank: one dispatch per
+                # epoch instead of epoch_it (`make_scanned_epoch`); on a mesh
+                # the in-scan batch shards over the data axis.
+                from waveunet_tpu.train.step import make_scanned_epoch
+                epoch_fn = make_scanned_epoch(rcfg, rcfg.init_sup_sep_lr,
+                                              rcfg.epoch_it, bank.sample_raw,
+                                              mesh=mesh)
+                data_key = jax.random.PRNGKey(rcfg.seed + rnd)
+            elif bank is not None:
+                train_it = bank.batches(jax.random.PRNGKey(rcfg.seed + rnd))
+
+        # Zero-host-byte validation: the device-resident valid windows are
+        # built once and re-chunked across rounds (the round-2 batch doubling
+        # only changes the drop-remainder boundary, not the bank contents).
+        if not valid_bank_tried:
+            valid_bank = make_eval_source(rcfg, "valid", in_len, out_len,
+                                          batch_size=rcfg.batch_size)
+            valid_bank_tried = True
+        elif valid_bank is not None:
+            valid_bank.set_batch(rcfg.batch_size)
 
         worse = 0
         epochs_this_round = 0
@@ -224,40 +332,69 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
             else:
                 state, train_loss = train_one_epoch(rcfg, state, step_fn,
                                                     train_it, logger)
+            # EVERY process calls the orbax save: it is a collective (orbax
+            # runs sync_global_processes barriers inside save()); only the
+            # primary host actually writes bytes. A process-0-only call
+            # deadlocks the pod on the first checkpoint.
             path = ckpt.save_checkpoint(cfg.model_base_dir, experiment_id,
                                         state.step, state.as_pytree())
-            ckpt.prune_checkpoints(cfg.model_base_dir, experiment_id,
-                                   cfg.keep_checkpoints,
-                                   protect=(best_path, path))
-            valid_pipe = BatchPipeline(rcfg, "valid", in_len, out_len,
-                                       seed=rcfg.seed)
-            curr = evaluate(rcfg, state.params, state.model_state, eval_step,
-                            valid_pipe.eval_batches())
-            logger.log(state.step, valid_loss=curr)
+            if is_main:
+                ckpt.prune_checkpoints(cfg.model_base_dir, experiment_id,
+                                       cfg.keep_checkpoints,
+                                       protect=(best_path, path))
+            if valid_bank is not None:
+                curr = valid_bank.evaluate(state.params, state.model_state,
+                                           mesh=mesh)
+            elif pod:
+                curr = _pod_host_evaluate(rcfg, state.params,
+                                          state.model_state, eval_step, mesh,
+                                          "valid", in_len, out_len)
+            else:
+                valid_pipe = BatchPipeline(rcfg, "valid", in_len, out_len,
+                                           seed=rcfg.seed)
+                curr = evaluate(rcfg, state.params, state.model_state,
+                                eval_step, valid_pipe.eval_batches())
+            if logger is not None:
+                logger.log(state.step, valid_loss=curr)
             epoch += 1
             epochs_this_round += 1
             if curr < best_loss:
                 print(f"Validation improved {best_loss} -> {curr}")
                 best_loss, best_path, worse = curr, path, 0
-                # marker for CLI/users: which checkpoint is the current best
-                with open(os.path.join(cfg.model_base_dir,
-                                       str(experiment_id), "best.txt"),
-                          "w") as f:
-                    f.write(path + "\n")
+                if is_main:
+                    # marker for CLI/users: the current best checkpoint
+                    with open(os.path.join(cfg.model_base_dir,
+                                           str(experiment_id), "best.txt"),
+                              "w") as f:
+                        f.write(path + "\n")
             else:
                 worse += 1
                 print(f"Validation worsened to {curr}")
 
     print(f"TRAINING FINISHED - testing best model {best_path}")
+    if pod:
+        # process 0 may still be flushing the final checkpoint; every loss
+        # so far came out of collectives, so all processes agree on best_path
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("waveunet_final_ckpt")
     if best_path is not None:
         restored = ckpt.restore_checkpoint(best_path)
         params, model_state = restored["params"], restored["model_state"]
     else:
         params, model_state = state.params, state.model_state
     eval_step = make_eval_step(cfg, mesh=mesh)
-    test_pipe = BatchPipeline(cfg, "test", in_len, out_len, seed=cfg.seed)
-    test_loss = evaluate(cfg, params, model_state, eval_step,
-                         test_pipe.eval_batches())
-    logger.log(state.step, test_loss=test_loss)
-    logger.close()
+    test_bank = make_eval_source(cfg, "test", in_len, out_len,
+                                 batch_size=cfg.batch_size)
+    if test_bank is not None:
+        test_loss = test_bank.evaluate(params, model_state, mesh=mesh)
+    elif pod:
+        test_loss = _pod_host_evaluate(cfg, params, model_state, eval_step,
+                                       mesh, "test", in_len, out_len)
+    else:
+        test_pipe = BatchPipeline(cfg, "test", in_len, out_len, seed=cfg.seed)
+        test_loss = evaluate(cfg, params, model_state, eval_step,
+                             test_pipe.eval_batches())
+    if logger is not None:
+        logger.log(state.step, test_loss=test_loss)
+        logger.close()
     return best_path or "", test_loss
