@@ -123,7 +123,8 @@ def test_tpu_bsseval_matches_host_on_real_music():
         load(os.path.join(_SONG, "accompaniment_estimate.mp3"), sr=None,
              mono=False)[0]])[:, off:off + n]
     host = bss_eval_framewise(refs, ests, rate=sr)
-    dev = bss_eval_framewise_tpu(refs, ests, rate=sr, window_batch=4)
+    dev = bss_eval_framewise_tpu(refs, ests, rate=sr, window_batch=4,
+                                 hybrid_tol=None)  # pure-device contract
     tol = {"SDR": 1e-4, "ISR": 0.03, "SIR": 1.5, "SAR": 1.5}
     for k in ("SDR", "ISR", "SIR", "SAR"):
         h, d = host[k], dev[k]
@@ -133,3 +134,44 @@ def test_tpu_bsseval_matches_host_on_real_music():
     # the aggregate (what users report) stays tight even for SIR/SAR
     for k in ("SIR", "SAR"):
         assert abs(np.nanmedian(dev[k]) - np.nanmedian(host[k])) < 0.5, k
+
+
+@needs_fixtures
+def test_tpu_bss_hybrid_gate_catches_catastrophic_windows():
+    """The 8-10 s region of the fixture song (near-silent vocal intro) is the
+    catastrophic class: pure-device SIR there is >5 dB off host fp64
+    (measured 12-31 dB; the window is also ~dB-ambiguous UNDER fp64 — the
+    round-3 precision closure in eval/bsseval_tpu.py). The default hybrid
+    must (a) flag exactly that class via the ridge-sensitivity gate and
+    return the host answer for it verbatim, and (b) leave the ordinary
+    windows on device."""
+    from waveunet_tpu.eval.bsseval import bss_eval_framewise
+    from waveunet_tpu.eval.bsseval_tpu import bss_eval_framewise_tpu
+
+    sr = 44100
+    n, off = 4 * sr, 8 * sr  # w0/w1 catastrophic, w2/w3 ordinary
+    refs = np.stack([
+        load(os.path.join(_SONG, "vocals_true.mp3"), sr=None, mono=False)[0],
+        load(os.path.join(_SONG, "accompaniment_true.mp3"), sr=None,
+             mono=False)[0]])[:, off:off + n]
+    ests = np.stack([
+        load(os.path.join(_SONG, "vocals_estimate.mp3"), sr=None,
+             mono=False)[0],
+        load(os.path.join(_SONG, "accompaniment_estimate.mp3"), sr=None,
+             mono=False)[0]])[:, off:off + n]
+
+    host = bss_eval_framewise(refs, ests, rate=sr)
+    pure = bss_eval_framewise_tpu(refs, ests, rate=sr, window_batch=4,
+                                  hybrid_tol=None)
+    hyb = bss_eval_framewise_tpu(refs, ests, rate=sr, window_batch=4)
+
+    # the catastrophic class exists (this is WHY the gate exists)
+    assert np.nanmax(np.abs(pure["SIR"][:, :2] - host["SIR"][:, :2])) > 5.0
+    # hybrid: flagged windows are the host answer verbatim
+    for k in ("SDR", "ISR", "SIR", "SAR"):
+        np.testing.assert_array_equal(hyb[k][:, :2], host[k][:, :2],
+                                      err_msg=k)
+    # ordinary windows stayed on device (pure-device values, not host's)
+    for k in ("SDR", "ISR", "SIR", "SAR"):
+        np.testing.assert_array_equal(hyb[k][:, 2:], pure[k][:, 2:],
+                                      err_msg=k)
