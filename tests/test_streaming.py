@@ -168,3 +168,42 @@ def test_stream_matches_offline_learned_stereo():
         assert out.shape[0] == audio.shape[0]
         np.testing.assert_allclose(out[:n_cmp], offline[s][:n_cmp],
                                    atol=1e-5, err_msg=s)
+
+
+@pytest.mark.parametrize("batch_windows", [1, 4])
+def test_stream_spectrogram_matches_offline(rng, batch_windows):
+    """The U7 spectrogram family streams through the same ring (round-3
+    extension; zero context pad — windows tile) and matches the offline
+    engine on every sample the stream can see without future context."""
+    from waveunet_tpu.models.spectrogram_unet import init_spectrogram_unet
+
+    cfg = get_config("unet_spectrogram", num_layers=3,
+                     num_frames=768 * 15 + 1024, infer_batch=2,
+                     infer_num_frames=None)
+    params, state = init_spectrogram_unet(jax.random.PRNGKey(0), cfg)
+    offline = Separator(cfg, params, model_state=state)
+    n = int(offline.out_len * 2.6)
+    audio = (0.2 * rng.standard_normal((n, 1))).astype(np.float32)
+    want = offline.separate(audio, cfg.expected_sr)
+
+    stream = StreamingSeparator(cfg, params, batch_windows=batch_windows,
+                                model_state=state)
+    assert stream.pad == 0  # context-free family: windows tile exactly
+    got = {s: [] for s in cfg.source_names}
+    for i in range(0, n, 1111):
+        for s, v in stream.push(audio[i:i + 1111]).items():
+            got[s].append(v)
+    for s, v in stream.flush().items():
+        got[s].append(v)
+    got = {s: np.concatenate(v) for s, v in got.items()}
+
+    # offline right-aligns its final (partial) window into real signal and
+    # overwrites [n - out_len, n); the stream cannot see that future — and
+    # for the STFT family the re-phased overlap differs through the whole
+    # right-aligned window, so exact parity holds before it
+    n_cmp = n - stream.out_len
+    for s in cfg.source_names:
+        assert got[s].shape[0] == n
+        assert np.all(np.isfinite(got[s]))
+        np.testing.assert_allclose(got[s][:n_cmp], want[s][:n_cmp],
+                                   atol=1e-5, err_msg=s)

@@ -273,12 +273,7 @@ def cmd_stream(args):
     if "input_path" not in opts:
         print("stream requires input_path=<audio file>", file=sys.stderr)
         sys.exit(2)
-    if cfg.network != "unet":
-        print("stream supports the time-domain unet models only "
-              "(the spectrogram model has no streaming separator)",
-              file=sys.stderr)
-        sys.exit(2)
-    params, _ = _load_params(cfg, opts.get("checkpoint"))
+    params, model_state = _load_params(cfg, opts.get("checkpoint"))
     audio, _sr = load(opts["input_path"], sr=cfg.expected_sr,
                       mono=cfg.mono_downmix)
     if not cfg.mono_downmix and audio.shape[1] == 1:
@@ -287,7 +282,8 @@ def cmd_stream(args):
                        * cfg.expected_sr / 1000))
     stream = StreamingSeparator(cfg, params,
                                 batch_windows=int(opts.get("batch_windows",
-                                                           "8")))
+                                                           "8")),
+                                model_state=model_state)
     # Warm up every jit program the timed run can hit — the append buckets
     # for the chunk size AND the shorter final piece, the drain-k transient
     # buckets, and a flush — WITHOUT replaying the whole song (that would

@@ -26,6 +26,12 @@ Algorithmic latency = out_len + context, independent of batching.
 Parity: every fully-contexted output sample matches the offline engine's
 output for the same signal, and batched draining matches serial draining to
 fp32 conv-tiling tolerance (tested in tests/test_streaming.py).
+
+Both families stream: the time-domain Wave-U-Net (context-padded windows)
+and the spectrogram U-Net (`UnetSpectrogramSeparator.py:40-106` semantics —
+its windows satisfy the same (in_len, out_len) stitching contract with zero
+context pad, so the ring/drain machinery is shared; mask+phase STFT work
+happens inside the jitted forward per window).
 """
 
 from __future__ import annotations
@@ -46,11 +52,8 @@ from waveunet_tpu.ops.shapes import pow2_ceil as _pow2_ceil
 
 
 class StreamingSeparator:
-    def __init__(self, cfg: Config, params, batch_windows: int = 1):
-        if cfg.network != "unet":
-            raise ValueError(
-                "StreamingSeparator supports the time-domain unet models "
-                "only (the spectrogram model has no streaming path)")
+    def __init__(self, cfg: Config, params, batch_windows: int = 1,
+                 model_state=None):
         self.cfg = cfg
         frames = cfg.infer_num_frames or cfg.num_frames
         if frames == -1:
@@ -83,12 +86,36 @@ class StreamingSeparator:
 
         self._append = append
 
+        # Forward for either family: the spectrogram net streams through the
+        # same ring because its windows satisfy the identical (in_len,
+        # out_len) stitching contract — get_padding validates the iSTFT
+        # emits exactly out_len samples per window (engine.py:110-123), and
+        # with context=False the windows tile with zero context pad.
+        if cfg.network == "unet":
+            def forward(p, wins):
+                return apply_waveunet(p, cfg, wins, training=False)
+        else:
+            from waveunet_tpu.models.spectrogram_unet import (
+                apply_spectrogram_unet)
+            mstate = model_state or {}
+
+            def forward(p, wins):
+                out, _ = apply_spectrogram_unet(p, cfg, wins, training=False,
+                                                state=mstate)
+                got = out[cfg.source_names[0]].shape[1]
+                if got != out_len:
+                    raise ValueError(
+                        f"spectrogram window/iSTFT length mismatch "
+                        f"({out_len - got} samples of framing slack escaped "
+                        f"get_padding validation)")
+                return out
+
         @functools.partial(jax.jit, static_argnames=("k",))
         def drain(p, buf, *, k: int):
             wins = jnp.stack([
                 jax.lax.dynamic_slice(buf, (i * out_len, 0), (in_len, n_ch))
                 for i in range(k)])
-            out = apply_waveunet(p, cfg, wins, training=False)
+            out = forward(p, wins)
             if wire16:
                 out = {s: jnp.round(jnp.clip(v, -1.0, 1.0) * 32767.0
                                     ).astype(jnp.int16)
