@@ -266,6 +266,45 @@ def test_scanned_epoch_matches_eager_loop(tmp_path):
                                    rtol=1e-4, atol=1e-6, err_msg=k)
 
 
+def test_chunked_scanned_epoch_matches_monolithic(tmp_path):
+    """chunk=N cuts the scanned epoch into several dispatches of the same
+    compiled program; both RNG streams fold on the absolute step index, so
+    the result must be BIT-IDENTICAL to the single-program scan (the chunking
+    exists only to bound per-program device time — config.scan_chunk docs)."""
+    from tests.test_integration import _make_cache
+    from waveunet_tpu.data.device_cache import DeviceBank
+    from waveunet_tpu.train.step import make_scanned_epoch, make_train_step
+
+    cfg = get_config("baseline", num_layers=2, num_frames=256,
+                     num_initial_filters=4, batch_size=2, epoch_it=5,
+                     data_path=str(tmp_path / "cache"))
+    _make_cache(tmp_path, cfg)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    bank = DeviceBank(cfg, "train", in_len, out_len)
+
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    init_opt, _ = make_train_step(cfg, 1e-4)
+    data_key = jax.random.PRNGKey(123)
+    step_rng = jax.random.PRNGKey(7)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    outs = []
+    for chunk in (None, 2):  # 2 -> chunks of [2, 2, 1] incl. remainder
+        fn = make_scanned_epoch(cfg, 1e-4, cfg.epoch_it, bank.sample_raw,
+                                chunk=chunk)
+        outs.append(fn(copy(params), {}, init_opt(params), bank._bank,
+                       bank._starts, bank._valids, data_key, step_rng, 0))
+    (p_m, _, opt_m, l_m), (p_c, _, opt_c, l_c) = outs
+    np.testing.assert_array_equal(np.asarray(l_m), np.asarray(l_c))
+    for k in p_m:
+        np.testing.assert_array_equal(np.asarray(p_m[k]["kernel"]),
+                                      np.asarray(p_c[k]["kernel"]), err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        opt_m, opt_c)
+
+
 def test_optimise_scanned_vs_loop(tmp_path):
     """optimise() end-to-end with scan_epoch on and off: both train, both
     produce finite losses and checkpoints."""

@@ -176,7 +176,7 @@ def main():
             b["mix"] = jnp.sum(wins, axis=1)
             return b
 
-        n_steps = 50
+        n_steps = int(os.environ.get("SCAN_STEPS", "50"))
         epoch_fn = make_scanned_epoch(tcfg, 1e-4, n_steps, sample_fn)
         init_opt, _ = make_train_step(tcfg, 1e-4)
         opt_state = init_opt(params)
@@ -196,10 +196,12 @@ def main():
         params, mstate, opt_state = run(params, mstate, opt_state)
         rec["first_call_s"] = round(time.perf_counter() - t0, 3)
         times = []
-        for _ in range(4):
+        for _ in range(int(os.environ.get("SCAN_REPEATS", "4"))):
             t0 = time.perf_counter()
             params, mstate, opt_state = run(params, mstate, opt_state)
             times.append(time.perf_counter() - t0)
+        times = times or [rec["first_call_s"]]
+        rec["scan_steps"] = n_steps
         rec["scan_step_ms"] = round(min(times) / n_steps * 1e3, 3)
         rec["steps_per_s"] = round(n_steps / min(times), 2)
     else:

@@ -90,6 +90,16 @@ class Config:
     # when training from the device bank on a single device — removes all
     # per-step dispatch overhead (train/step.py:make_scanned_epoch).
     scan_epoch: bool = True
+    # Max lax.scan steps per dispatch of the scanned epoch. The epoch is cut
+    # into ceil(epoch_it / scan_chunk) back-to-back dispatches of the SAME
+    # compiled program (bit-exact: RNG keys fold on the absolute step index,
+    # so the chunking is invisible to the training stream). Bounding a single
+    # program's device time matters on runtimes with an execution watchdog:
+    # the axon TPU worker crashes outright on one ~66 s program (a 2000-step
+    # full_44KHz epoch) while ~33 s programs run fine — 250 steps/dispatch
+    # (~8 s at the production scale) keeps a 4x margin at ~0.1% added
+    # dispatch overhead. 0 disables chunking (one program per epoch).
+    scan_chunk: int = 250
     # How many per-epoch checkpoints to retain (0 = all, like the reference's
     # Saver; the best-validation checkpoint is always kept).
     keep_checkpoints: int = 0

@@ -122,7 +122,8 @@ def train_one_epoch(cfg: Config, state: TrainState, step_fn,
 def train_one_epoch_scanned(cfg: Config, state: TrainState, epoch_fn, bank,
                             data_key, logger: Optional[MetricLogger] = None,
                             base_rng=None) -> Tuple[TrainState, float]:
-    """One epoch as ONE device program (lax.scan over sample+step — see
+    """One epoch as a handful of scanned device programs (lax.scan over
+    sample+step, cut into ``cfg.scan_chunk``-step dispatches — see
     ``make_scanned_epoch``). Equivalent stream/rng conventions to
     :func:`train_one_epoch` over a bank iterator."""
     base_rng = base_rng if base_rng is not None else jax.random.PRNGKey(
@@ -304,7 +305,8 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
                 from waveunet_tpu.train.step import make_scanned_epoch
                 epoch_fn = make_scanned_epoch(rcfg, rcfg.init_sup_sep_lr,
                                               rcfg.epoch_it, bank.sample_raw,
-                                              mesh=mesh)
+                                              mesh=mesh,
+                                              chunk=rcfg.scan_chunk)
                 data_key = jax.random.PRNGKey(rcfg.seed + rnd)
             elif bank is not None:
                 train_it = bank.batches(jax.random.PRNGKey(rcfg.seed + rnd))
@@ -326,6 +328,7 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
                     and epochs_this_round >= max_epochs_per_round):
                 break
             print(f"EPOCH: {epoch}")
+            t_ep = time.time()
             if epoch_fn is not None:
                 state, train_loss = train_one_epoch_scanned(
                     rcfg, state, epoch_fn, bank, data_key, logger)
@@ -336,12 +339,14 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
             # runs sync_global_processes barriers inside save()); only the
             # primary host actually writes bytes. A process-0-only call
             # deadlocks the pod on the first checkpoint.
+            t_train = time.time()
             path = ckpt.save_checkpoint(cfg.model_base_dir, experiment_id,
                                         state.step, state.as_pytree())
             if is_main:
                 ckpt.prune_checkpoints(cfg.model_base_dir, experiment_id,
                                        cfg.keep_checkpoints,
                                        protect=(best_path, path))
+            t_ckpt = time.time()
             if valid_bank is not None:
                 curr = valid_bank.evaluate(state.params, state.model_state,
                                            mesh=mesh)
@@ -354,8 +359,19 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
                                            seed=rcfg.seed)
                 curr = evaluate(rcfg, state.params, state.model_state,
                                 eval_step, valid_pipe.eval_batches())
+            t_valid = time.time()
+            # Per-epoch wall-clock by phase: the whole driver loop must stay
+            # compute-bound — validation/checkpoint riding a slow host link
+            # is the failure mode this print makes visible (round-2 review).
+            print(f"epoch {epoch} wall: train {t_train - t_ep:.1f}s | "
+                  f"checkpoint {t_ckpt - t_train:.1f}s | "
+                  f"valid {t_valid - t_ckpt:.1f}s | "
+                  f"total {t_valid - t_ep:.1f}s")
             if logger is not None:
-                logger.log(state.step, valid_loss=curr)
+                logger.log(state.step, valid_loss=curr,
+                           epoch_wall_s=t_valid - t_ep,
+                           valid_wall_s=t_valid - t_ckpt,
+                           checkpoint_wall_s=t_ckpt - t_train)
             epoch += 1
             epochs_this_round += 1
             if curr < best_loss:

@@ -121,7 +121,8 @@ def make_train_step(cfg: Config, lr: float,
 
 
 def make_scanned_epoch(cfg: Config, lr: float, n_steps: int, sample_fn,
-                       mesh: Optional[jax.sharding.Mesh] = None):
+                       mesh: Optional[jax.sharding.Mesh] = None,
+                       chunk: Optional[int] = None):
     """ONE jitted program for a whole epoch: ``lax.scan`` over
     sample-from-HBM-bank -> train step.
 
@@ -144,34 +145,64 @@ def make_scanned_epoch(cfg: Config, lr: float, n_steps: int, sample_fn,
     loss_fn = make_loss_fn(cfg, training=True)
     tx = make_optimizer(lr)
 
-    def epoch(params, mstate, opt_state, bank, starts, valids, data_key,
-              step_rng, step0):
-        def body(carry, i):
-            params, mstate, opt_state = carry
-            batch = sample_fn(bank, starts, valids,
-                              jax.random.fold_in(data_key, step0 + i))
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                data = NamedSharding(mesh, P(mesh.axis_names, None, None))
-                batch = {k: jax.lax.with_sharding_constraint(v, data)
-                         for k, v in batch.items()}
-            rng = jax.random.fold_in(step_rng, step0 + i)
-            (loss, new_state), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, mstate, batch, rng)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, new_state, opt_state), loss
+    def build(m: int):
+        def epoch(params, mstate, opt_state, bank, starts, valids, data_key,
+                  step_rng, step0):
+            def body(carry, i):
+                params, mstate, opt_state = carry
+                batch = sample_fn(bank, starts, valids,
+                                  jax.random.fold_in(data_key, step0 + i))
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    data = NamedSharding(mesh, P(mesh.axis_names, None, None))
+                    batch = {k: jax.lax.with_sharding_constraint(v, data)
+                             for k, v in batch.items()}
+                rng = jax.random.fold_in(step_rng, step0 + i)
+                (loss, new_state), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, mstate, batch, rng)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, new_state, opt_state), loss
 
-        (params, mstate, opt_state), losses = jax.lax.scan(
-            body, (params, mstate, opt_state), jnp.arange(n_steps))
-        return params, mstate, opt_state, losses
+            (params, mstate, opt_state), losses = jax.lax.scan(
+                body, (params, mstate, opt_state), jnp.arange(m))
+            return params, mstate, opt_state, losses
 
-    if mesh is None:
-        return jax.jit(epoch, donate_argnums=(0, 1, 2))
-    rep, _ = _shardings(mesh)
-    return jax.jit(epoch, donate_argnums=(0, 1, 2),
-                   in_shardings=(rep,) * 6 + (rep, rep, None),
-                   out_shardings=(rep, rep, rep, rep))
+        if mesh is None:
+            return jax.jit(epoch, donate_argnums=(0, 1, 2))
+        rep, _ = _shardings(mesh)
+        return jax.jit(epoch, donate_argnums=(0, 1, 2),
+                       in_shardings=(rep,) * 6 + (rep, rep, None),
+                       out_shardings=(rep, rep, rep, rep))
+
+    if not chunk or chunk >= n_steps:
+        return build(n_steps)
+
+    # Chunked: ceil(n_steps / chunk) back-to-back dispatches, bit-exact with
+    # the monolithic scan (both RNG streams fold on the ABSOLUTE step index
+    # step0 + i, and lax.scan carries params sequentially either way).
+    # Bounds any single program's device execution time — the axon TPU
+    # worker crashes on single ~66 s programs (config.scan_chunk docs) —
+    # at one extra ~7 ms dispatch per chunk, with all chunks after the first
+    # enqueued while the first still runs (async dispatch).
+    n_full, rem = divmod(n_steps, chunk)
+    chunk_fn = build(chunk)
+    rem_fn = build(rem) if rem else None
+
+    def chunked(params, mstate, opt_state, bank, starts, valids, data_key,
+                step_rng, step0):
+        losses = []
+        off = 0
+        for fn, m in [(chunk_fn, chunk)] * n_full + (
+                [(rem_fn, rem)] if rem_fn is not None else []):
+            params, mstate, opt_state, l = fn(
+                params, mstate, opt_state, bank, starts, valids, data_key,
+                step_rng, step0 + off)
+            losses.append(l)
+            off += m
+        return params, mstate, opt_state, jnp.concatenate(losses)
+
+    return chunked
 
 
 def make_eval_step(cfg: Config, mesh: Optional[jax.sharding.Mesh] = None):
