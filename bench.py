@@ -117,7 +117,7 @@ def main():
     # change; round-2 judge finding). Best-of-N is the headline (contention
     # only ever ADDS time); medians + spread are reported so round-over-round
     # numbers can be read against the run's own noise level.
-    REPS = 10
+    REPS = 14
     engine_times, serial_times = [], []
     for _ in range(REPS):
         engine_times.append(_timed(sep, song, sr))

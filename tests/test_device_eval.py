@@ -86,6 +86,27 @@ def test_eval_bank_fp32_matches_host_pipeline(tmp_path):
     assert bank.n_batches == n_host > 1
 
 
+def test_eval_bank_chunked_sweep_matches_monolithic(tmp_path):
+    """scan_chunk cuts the eval sweep into several dispatches (the runtime
+    crashes on single long programs — config.scan_chunk docs); the chunked
+    sweep must be bit-identical to the one-program sweep."""
+    cfg = _cfg(tmp_path)
+    _make_cache(tmp_path, cfg, subtype="FLOAT")
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+
+    bank = EvalBank(cfg, "valid", in_len, out_len, dtype="float32")
+    assert bank.n_batches >= 3
+    mono = bank.evaluate(params, {})
+    # chunk of 4*1 = 4... force tiny chunks incl. a remainder dispatch
+    bank.cfg = cfg.replace(scan_chunk=1)
+    bank._sweep = None  # rebuild programs under the new plan
+    plan = bank._chunk_plan()
+    assert len(plan) > 1 and plan[-1][0] <= 4
+    chunked = bank.evaluate(params, {})
+    assert chunked == mono
+
+
 def test_eval_bank_uses_stored_mixture(tmp_path):
     """A clipped stored mixture must flow into the eval loss (re-summing the
     sources would silently score a different input)."""

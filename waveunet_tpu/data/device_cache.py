@@ -256,7 +256,7 @@ class EvalBank:
     def nbytes(self) -> int:
         return int(self._bank.size) * self._bank.dtype.itemsize
 
-    def _build_sweep(self, mesh):
+    def _build_sweep(self, mesh, m: int):
         from waveunet_tpu.train.step import make_loss_fn
 
         loss_fn = make_loss_fn(self.cfg, training=False)
@@ -267,9 +267,10 @@ class EvalBank:
         batch = self.batch
         scale = (1.0 / 32767.0) if self._dtype == "int16" else None
 
-        def sweep(params, mstate, bank, positions):
+        def sweep(params, mstate, bank, positions, i0):
             def body(_, i):
-                pos = jax.lax.dynamic_slice(positions, (i * batch,), (batch,))
+                pos = jax.lax.dynamic_slice(positions,
+                                            ((i0 + i) * batch,), (batch,))
 
                 def gather(p):
                     return jax.lax.dynamic_slice(
@@ -290,29 +291,47 @@ class EvalBank:
                 loss, _ = loss_fn(params, mstate, b, None)
                 return 0, loss
 
-            _, losses = jax.lax.scan(body, 0, jnp.arange(self.n_batches))
+            _, losses = jax.lax.scan(body, 0, jnp.arange(m))
             return losses
 
         if mesh is None:
             return jax.jit(sweep)
         from jax.sharding import NamedSharding, PartitionSpec as P
         rep = NamedSharding(mesh, P())
-        return jax.jit(sweep, in_shardings=(rep, rep, rep, rep),
+        return jax.jit(sweep, in_shardings=(rep, rep, rep, rep, None),
                        out_shardings=rep)
+
+    def _chunk_plan(self):
+        """(m, i0) per dispatch: the sweep is cut like the training epoch
+        (config.scan_chunk docs — the runtime crashes on single ~66 s
+        programs). Eval batches are ~3x cheaper than train steps, so 4x the
+        train chunk keeps similar per-dispatch time; 0 disables chunking."""
+        chunk = (4 * self.cfg.scan_chunk if self.cfg.scan_chunk
+                 else self.n_batches)
+        plan, i0 = [], 0
+        while i0 < self.n_batches:
+            plan.append((min(chunk, self.n_batches - i0), i0))
+            i0 += chunk
+        return plan
 
     def evaluate(self, params, model_state, mesh=None) -> float:
         """Running-mean loss over the deterministic pass — the exact
         accumulation of ``train.loop.evaluate`` (`Test.py:73-79`), with the
-        whole sweep as one device program and only the [n_batches] loss
-        vector fetched."""
+        sweep as a handful of scanned device programs and only the
+        [n_batches] loss vector fetched."""
         if self.n_batches == 0:
             print("WARNING: evaluation produced no batches; returning inf")
             return float("inf")
         if self._sweep is None or self._sweep_mesh is not mesh:
-            self._sweep = self._build_sweep(mesh)
+            self._sweep = {}
             self._sweep_mesh = mesh
-        losses = np.asarray(
-            self._sweep(params, model_state, self._bank, self._pos_dev))
+        parts = []
+        for m, i0 in self._chunk_plan():
+            if m not in self._sweep:
+                self._sweep[m] = self._build_sweep(mesh, m)
+            parts.append(self._sweep[m](params, model_state, self._bank,
+                                        self._pos_dev, i0))
+        losses = np.concatenate([np.asarray(p) for p in parts])
         total, n = 0.0, 0
         for loss in losses:
             n += 1
