@@ -177,7 +177,11 @@ def main():
             return b
 
         n_steps = int(os.environ.get("SCAN_STEPS", "50"))
-        epoch_fn = make_scanned_epoch(tcfg, 1e-4, n_steps, sample_fn)
+        # SCAN_CHUNK=0 (default) = one program; the axon worker crashes on
+        # single ~66 s programs, so pass SCAN_CHUNK=250 for long scans.
+        chunk = int(os.environ.get("SCAN_CHUNK", "0")) or None
+        epoch_fn = make_scanned_epoch(tcfg, 1e-4, n_steps, sample_fn,
+                                      chunk=chunk)
         init_opt, _ = make_train_step(tcfg, 1e-4)
         opt_state = init_opt(params)
         mstate = {}

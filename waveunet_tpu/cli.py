@@ -133,8 +133,16 @@ def cmd_train(args):
                        max_tracks=(int(opts["max_tracks"])
                                    if "max_tracks" in opts else None),
                        win_s=float(opts.get("win_s", 1.0)),
-                       tpu_bss=opts.get("tpu_bss", "0").lower()
-                       in ("1", "true"))
+                       tpu_bss=_parse_tpu_bss(opts))
+
+
+def _parse_tpu_bss(opts):
+    """tpu_bss=0|1|f64: off, the fast fp32 device scorer, or the
+    full-precision XLA-f64 device scorer (eval/bsseval_tpu64.py)."""
+    v = opts.get("tpu_bss", "0").lower()
+    if v == "f64":
+        return "f64"
+    return v in ("1", "true", "fp32")
 
 
 def _load_params(cfg, checkpoint):
@@ -195,7 +203,7 @@ def cmd_evaluate(args):
                    max_tracks=(int(opts["max_tracks"])
                                if "max_tracks" in opts else None),
                    win_s=float(opts.get("win_s", 1.0)),
-                   tpu_bss=opts.get("tpu_bss", "0").lower() in ("1", "true"))
+                   tpu_bss=_parse_tpu_bss(opts))
 
 
 def cmd_prepare_data(args):

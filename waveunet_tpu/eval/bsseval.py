@@ -65,6 +65,46 @@ def _gram(RF: np.ndarray, nfft: int, L: int) -> np.ndarray:
     return G
 
 
+def _gram_exact(refs_flat: np.ndarray, L: int) -> np.ndarray:
+    """`_gram` with direct per-lag matmul correlations instead of FFTs.
+
+    The FFT assembly's irfft spreads an ABSOLUTE eps*||x||^2-scale rounding
+    across every lag, which swamps small true correlations; on near-singular
+    real-music Grams (cond 1e14-1e18 measured on the bundled fixtures) that
+    assembly noise alone moves SIR/SAR by up to 27 dB at fp64 (see
+    tests/test_bsseval_tpu64.py). The direct per-lag sums keep each entry's
+    error relative to its own summands — the strictly more accurate
+    arithmetic, and the assembly the fp64 device path uses (TPU XLA has no
+    f64 FFT). Default stays "fft" for museval-convention compatibility."""
+    K, n = refs_flat.shape
+    x = refs_flat.astype(np.float64)
+    rpos = np.zeros((K, K, L))
+    rpos[:, :, 0] = x @ x.T
+    for lag in range(1, L):
+        rpos[:, :, lag] = x[:, :n - lag] @ x[:, lag:].T
+    a = np.arange(L)
+    lagm = a[None, :] - a[:, None]                        # [a, b] = b - a
+    pos = rpos[:, :, np.maximum(lagm, 0)]
+    neg = rpos[:, :, np.maximum(-lagm, 0)]
+    # blk_ij[a, b] = sum_t refs_i[t-a] refs_j[t-b] = rpos[j, i, b-a] (b >= a)
+    G4 = np.where(lagm[None, None] >= 0, pos.transpose(1, 0, 2, 3), neg)
+    return G4.transpose(0, 2, 1, 3).reshape(K * L, K * L)
+
+
+def _cross_exact(refs_flat: np.ndarray, est: np.ndarray, L: int) -> np.ndarray:
+    """`_cross` with direct per-lag matmul correlations (see `_gram_exact`)."""
+    K, n = refs_flat.shape
+    x = refs_flat.astype(np.float64)
+    e = est.astype(np.float64)
+    C = est.shape[0]
+    D = np.zeros((K * L, C))
+    D[0::L, :] = x @ e[:, :n].T
+    for lag in range(1, L):
+        m = min(n, e.shape[1] - lag)
+        D[lag::L, :] = x[:, :m] @ e[:, lag:lag + m].T
+    return D
+
+
 def _cross(RF: np.ndarray, est: np.ndarray, nfft: int, L: int) -> np.ndarray:
     """D[(i, lag), c] = sum_t est_c[t] refs_i[t - lag]."""
     K = RF.shape[0]
@@ -137,12 +177,17 @@ def _db(num: float, den: float) -> float:
 
 
 def bss_eval_window(references: np.ndarray, estimates: np.ndarray,
-                    filter_len: int = FILTER_LEN) -> Dict[str, np.ndarray]:
+                    filter_len: int = FILTER_LEN,
+                    assembly: str = "fft") -> Dict[str, np.ndarray]:
     """Metrics for one window.
 
     references/estimates: [n_src, n_samples, n_chan].
     Returns dict of arrays [n_src] for SDR/ISR/SIR/SAR (NaN for silent refs).
+    ``assembly``: how Gram/cross correlations are computed — "fft" (museval
+    convention) or "exact" (direct per-lag sums; see `_gram_exact` for when
+    the two differ and why exact is the more accurate arithmetic).
     """
+    assert assembly in ("fft", "exact")
     S, n, C = references.shape
     L = filter_len
     refs_flat = references.transpose(0, 2, 1).reshape(S * C, n)
@@ -161,13 +206,15 @@ def bss_eval_window(references: np.ndarray, estimates: np.ndarray,
     # cross-correlation, and every projection.
     nfft = _nfft_for(n)
     RF = rfft(refs_flat, nfft, axis=1)
-    G_all = _gram(RF, nfft, L)  # one Gram per window, shared by all sources
+    G_all = (_gram_exact(refs_flat, L) if assembly == "exact"
+             else _gram(RF, nfft, L))  # one Gram per window, all sources
     solver = _GramSolver(G_all)
     for j in range(S):
         if ref_energy[j] == 0:
             continue
         est = estimates[j].T  # [C, n]
-        D_all = _cross(RF, est, nfft, L)
+        D_all = (_cross_exact(refs_flat, est, L) if assembly == "exact"
+                 else _cross(RF, est, nfft, L))
         A_all = solver.solve(D_all)
         proj_all = _project(RF, A_all, nfft, n_out)
 
@@ -198,7 +245,7 @@ def bss_eval_window(references: np.ndarray, estimates: np.ndarray,
 
 def bss_eval_framewise(references: np.ndarray, estimates: np.ndarray,
                        rate: int, win_s: float = 1.0, hop_s: float = 1.0,
-                       filter_len: int = FILTER_LEN
+                       filter_len: int = FILTER_LEN, assembly: str = "fft"
                        ) -> Dict[str, np.ndarray]:
     """Framewise metrics over a full track (museval v4 default framing:
     1 s windows, 1 s hop). Returns dict of [n_src, n_frames] arrays."""
@@ -210,7 +257,8 @@ def bss_eval_framewise(references: np.ndarray, estimates: np.ndarray,
            for k in ("SDR", "ISR", "SIR", "SAR")}
     for fi, st in enumerate(starts):
         sl = slice(st, min(st + win, n))
-        res = bss_eval_window(references[:, sl], estimates[:, sl], filter_len)
+        res = bss_eval_window(references[:, sl], estimates[:, sl], filter_len,
+                              assembly=assembly)
         for k in out:
             out[k][:, fi] = res[k]
     return out

@@ -57,10 +57,16 @@ can flag it:
 
 Consequence: publication-grade SIR/SAR on real music stays host-fp64
 (``evaluate_musdb`` default — parallelised over a process pool since
-round 3); this device path is for throughput-bound monitoring/ablation
-scoring, with the hybrid gate bounding its worst case. The only route to
-full-precision device scoring is double-float (fp64-emulated) FFT + Cholesky
-Pallas kernels — out of scope while the metric remains host-affordable.
+round 3); this fp32 path is for throughput-bound monitoring/ablation
+scoring, with the hybrid gate bounding its worst case. Full-precision
+device scoring DOES exist since round 3: ``eval/bsseval_tpu64.py`` runs the
+host fp64 algorithm on device via XLA's f64 emulation (FFT-free — TPU XLA
+has no f64 FFT — with exact-matmul correlation assembly and quadratic-form
+energies), matching host fp64 to <1e-3 dB on every fixture window
+(``tpu_bss=f64``). That module's tests also show the deeper truth this fp32
+closure hinted at: on cond ~1e15-1e18 windows, the HOST's own FFT-vs-exact
+assembly choice moves SIR/SAR by up to 27 dB at fp64 — the metric itself is
+scheme-defined there (SDR is solve-free and exact under every scheme).
 
 Measured on the v5e chip (1 s stereo 2-source windows, L=512): 20 ms/window
 device compute vs 460 ms/window host fp64 (23x); end-to-end on this

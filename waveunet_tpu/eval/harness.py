@@ -98,14 +98,22 @@ def separate_track(sep: Separator, cfg: Config, mix: np.ndarray, rate: int
 
 
 def _bss_eval(refs: np.ndarray, ests: np.ndarray, rate: int, win_s: float,
-              tpu_bss: bool = False, mesh=None) -> Dict[str, np.ndarray]:
+              tpu_bss=False, mesh=None) -> Dict[str, np.ndarray]:
     """Framewise metrics: the ``museval`` package when installed (exact parity
     with the reference's scoring, `Evaluate.py:71`), else the built-in
-    BSS-Eval v4 implementation. ``tpu_bss`` opts into the device-batched
-    fp32+refinement path (eval/bsseval_tpu.py): SDR exact, catastrophic
-    windows auto-routed to host fp64 by the ridge-sensitivity gate, SIR/SAR
-    within the fp32 contract documented in that module. Cuts full-dataset
-    scoring from hours of host LU to minutes on-chip."""
+    BSS-Eval v4 implementation. ``tpu_bss`` selects the device path:
+    truthy/"fp32" = the batched fp32+refinement kernel (eval/bsseval_tpu.py:
+    SDR exact, catastrophic windows auto-routed to host fp64 by the
+    ridge-sensitivity gate, SIR/SAR within its documented fp32 contract —
+    fastest, for monitoring/ablations); "f64" = the full-precision XLA-f64
+    kernel (eval/bsseval_tpu64.py: the host fp64 algorithm with exact-matmul
+    assembly — matches the host's exact-assembly scores to <1e-3 dB on every
+    real-music fixture window, incl. the near-singular ones where fp32 is
+    off by dB)."""
+    if isinstance(tpu_bss, str) and tpu_bss == "f64":
+        from waveunet_tpu.eval.bsseval_tpu64 import bss_eval_framewise_tpu64
+        return bss_eval_framewise_tpu64(refs, ests, rate, win_s=win_s,
+                                        hop_s=win_s)
     if tpu_bss:
         from waveunet_tpu.eval.bsseval_tpu import bss_eval_framewise_tpu
         wb = 8 if mesh is None else max(8, mesh.size)
