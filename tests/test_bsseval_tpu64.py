@@ -45,6 +45,37 @@ def _mix_case(rng, S, n, C):
     return refs, ests
 
 
+def test_corr_and_gram_match_explicit_shift_matrix():
+    """Structural oracle: build M (columns = L-shifted zero-padded refs)
+    explicitly and check the tiled-matmul assembly gives G == M^T M and
+    D == M^T e exactly (fp64)."""
+    import jax.numpy as jnp
+    from waveunet_tpu.eval.bsseval_tpu64 import _build_gram, _corr
+
+    rng = np.random.default_rng(7)
+    K, n, L = 3, 300, 17
+    refs = rng.standard_normal((K, n))
+    n_out = n + L - 1
+    M = np.zeros((n_out, K * L))
+    for i in range(K):
+        for a in range(L):
+            M[a:a + n, i * L + a] = refs[i]
+
+    with jax.enable_x64(True):
+        rpos = np.asarray(_corr(jnp.asarray(refs), jnp.asarray(refs), L))
+        G = np.asarray(_build_gram(jnp.asarray(rpos), L))
+        np.testing.assert_allclose(G, M.T @ M, rtol=0, atol=1e-10)
+
+        e = rng.standard_normal((2, n))  # 2 "channels" of an estimate
+        D = np.asarray(_corr(jnp.asarray(refs), jnp.asarray(e), L))
+        # D[i, c, a] = sum_t e_c[t] refs_i[t - a] = (M^T e_pad)[(i, a), c]
+        e_pad = np.zeros((2, n_out))
+        e_pad[:, :n] = e
+        want = (M.T @ e_pad.T)  # [K*L, 2]
+        got = D.transpose(0, 2, 1).reshape(K * L, 2)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-10)
+
+
 def test_f64_matches_host_well_conditioned():
     rng = np.random.default_rng(0)
     refs, ests = _mix_case(rng, 2, 4000, 2)
