@@ -34,8 +34,15 @@ _SONG = os.path.join(_EXAMPLES, "Cristina Vane - So Easy")
 
 
 def _maxdiff(a, b):
-    both_nan = np.isnan(a) & np.isnan(b)
-    return float(np.nanmax(np.where(both_nan, 0.0, np.abs(a - b))))
+    # Matching NaNs (degenerate-window semantics) count as equal; a
+    # ONE-SIDED NaN must fail loudly — np.nanmax would silently skip it,
+    # letting a device-NaN-where-host-finite regression pass.
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    if not np.array_equal(np.isnan(a), np.isnan(b)):
+        return float("inf")
+    d = np.abs(a - b)
+    d[np.isnan(a)] = 0.0
+    return float(np.max(d)) if d.size else 0.0
 
 
 def _mix_case(rng, S, n, C):

@@ -280,3 +280,56 @@ def test_harness_multi_instrument_tpu_bss(tmp_path, rng):
     assert len(stats) == 4
     for med, mad, mean, sd in stats:
         assert np.isfinite(med) and np.isfinite(mean)
+
+
+def test_harness_survives_broken_scoring_pool(tmp_path, rng, monkeypatch,
+                                              capsys):
+    """A scoring-worker crash poisons a ProcessPoolExecutor: every later
+    submit raises BrokenProcessPool. The harness must fall back to inline
+    scoring and finish the dataset (round-3 review finding)."""
+    import concurrent.futures
+    import jax
+
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.data.audio_io import write_wav
+    from waveunet_tpu.eval.harness import evaluate_musdb
+    from waveunet_tpu.models.waveunet import init_waveunet
+
+    class PoisonedPool:
+        """submit always raises, like an executor whose worker died."""
+
+        def __init__(self, *a, **kw):
+            pass
+
+        def submit(self, *a, **kw):
+            raise concurrent.futures.process.BrokenProcessPool(
+                "worker died (simulated)")
+
+        def shutdown(self, *a, **kw):
+            pass
+
+    monkeypatch.setattr(concurrent.futures, "ProcessPoolExecutor",
+                        PoisonedPool)
+
+    sr = 8192
+    n = sr * 2
+    cfg = get_config("baseline", num_layers=3, num_frames=1024,
+                     expected_sr=sr, musdb_path=str(tmp_path / "db"))
+    t = np.arange(n) / sr
+    for song in ("songA", "songB"):
+        d = tmp_path / "db" / "test" / song
+        d.mkdir(parents=True)
+        vocals = (0.3 * np.sin(2 * np.pi * 440 * t))[:, None].astype(
+            np.float32)
+        acc = (0.3 * np.sin(2 * np.pi * 220 * t))[:, None].astype(np.float32)
+        write_wav(str(d / "vocals.wav"), vocals, sr)
+        write_wav(str(d / "accompaniment.wav"), acc, sr)
+        write_wav(str(d / "mixture.wav"), vocals + acc, sr)
+
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    stats = evaluate_musdb(cfg, params, subset="test",
+                           output_path=str(tmp_path / "est"))
+    assert len(stats) == 2
+    got = set(os.listdir(tmp_path / "est" / "test"))
+    assert {"songA.json", "songB.json"} <= got  # both tracks still scored
+    assert "scoring pool broken" in capsys.readouterr().out

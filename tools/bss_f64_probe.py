@@ -76,9 +76,14 @@ def main():
 
     worst = 0.0
     for k in host:
+        # matching NaNs are equal; a one-sided NaN is an inf disagreement
+        # (nanmax would silently skip it)
+        if not np.array_equal(np.isnan(host[k]), np.isnan(dev[k])):
+            worst = float("inf")
+            continue
         d = np.abs(host[k] - dev[k])
-        d = np.where(np.isnan(host[k]) & np.isnan(dev[k]), 0.0, d)
-        worst = max(worst, float(np.nanmax(d)))
+        d[np.isnan(host[k])] = 0.0
+        worst = max(worst, float(np.max(d)))
     rec["max_abs_diff_db_vs_host_exact"] = round(worst, 6)
 
     with open(out_path, "a") as f:

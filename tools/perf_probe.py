@@ -204,10 +204,15 @@ def main():
             t0 = time.perf_counter()
             params, mstate, opt_state = run(params, mstate, opt_state)
             times.append(time.perf_counter() - t0)
-        times = times or [rec["first_call_s"]]
         rec["scan_steps"] = n_steps
-        rec["scan_step_ms"] = round(min(times) / n_steps * 1e3, 3)
-        rec["steps_per_s"] = round(n_steps / min(times), 2)
+        if times:
+            rec["scan_step_ms"] = round(min(times) / n_steps * 1e3, 3)
+            rec["steps_per_s"] = round(n_steps / min(times), 2)
+        else:
+            # SCAN_REPEATS=0: only the cold call ran — that includes the
+            # (multi-minute) compile, so recording it as a warm per-step
+            # figure would be wildly wrong. Leave the warm fields out.
+            rec["scan_step_ms"] = rec["steps_per_s"] = None
     else:
         raise SystemExit(f"unknown mode {mode}")
 

@@ -88,10 +88,22 @@ def cmd_train(args):
               f"{jax.device_count()} global devices")
     if not cache.is_prepared(cfg):
         if jax.process_count() > 1 and jax.process_index() != 0:
-            # one preparer; the rest poll for the completion marker
+            # One preparer; the rest poll for the completion marker — with a
+            # deadline, so a process-0 crash mid-prepare fails the pod fast
+            # instead of hanging the other processes forever (the
+            # jax.distributed barrier never fires for a process stuck here).
             import time as _time
-            print("waiting for process 0 to prepare the dataset cache...")
+            limit = float(os.environ.get("WAVEUNET_PREPARE_TIMEOUT_S", 7200))
+            print("waiting for process 0 to prepare the dataset cache "
+                  f"(timeout {limit:.0f}s)...")
+            t0 = _time.monotonic()
             while not cache.is_prepared(cfg):
+                if _time.monotonic() - t0 > limit:
+                    print("error: dataset cache not prepared within "
+                          f"{limit:.0f}s — did process 0 die? "
+                          "(WAVEUNET_PREPARE_TIMEOUT_S overrides)",
+                          file=sys.stderr)
+                    sys.exit(3)
                 _time.sleep(2.0)
         else:
             pad = shapes.context_pad(cfg, cfg.num_frames)
@@ -126,6 +138,16 @@ def cmd_train(args):
     # ends by producing MUSDB source estimates (`Training.py:161-166`). Opt-in
     # here (final_eval=1) since a full BSS-Eval pass can dominate wall-clock.
     if opts.get("final_eval", "0").lower() in ("1", "true", "musdb") and path:
+        if jax.process_count() > 1:
+            # The dataset eval is a per-track host loop with a shared-FS
+            # resume check: N processes would desync their participation in
+            # the global mesh's collectives (hang) and race on the output
+            # JSONs/WAVs. Process 0 evaluates alone on its local devices.
+            if jax.process_index() != 0:
+                print("pod final_eval runs on process 0 only; done")
+                return
+            local = jax.local_devices()
+            mesh = (make_mesh(devices=local) if len(local) > 1 else None)
         from waveunet_tpu.eval.harness import evaluate_musdb
         params, model_state = _load_params(cfg, path)
         evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,

@@ -69,7 +69,9 @@ assembly choice moves SIR/SAR by up to 27 dB at fp64 — the metric itself is
 scheme-defined there (SDR is solve-free and exact under every scheme).
 
 Measured on the v5e chip (1 s stereo 2-source windows, L=512): 20 ms/window
-device compute vs 460 ms/window host fp64 (23x); end-to-end on this
+device compute vs 460 ms/window host fp64 (23x) in single-ridge form
+(``hybrid_tol=None``); the default hybrid gate computes every metric at two
+ridges, so expect ~2x that per window; end-to-end on this
 environment's slow host tunnel 2.6x (the ~2.8 MB/window H2D dominates — on
 attached hardware the compute ratio is what remains). Through the full
 evaluate_musdb harness (separation + scoring pipelined): 3x60 s synthetic
@@ -94,14 +96,18 @@ def _lag_index(L: int, nfft: int):
     return ((a[None, :] - a[:, None]) % nfft).astype(np.int32)  # [a, b] -> b-a
 
 
-def _window_kernel(refs, ests, L: int, nfft: int, refine_iters: int):
+def _window_kernel(refs, ests, L: int, nfft: int, refine_iters: int,
+                   with_gate: bool = True):
     """Metrics for one window batch element.
 
     refs: [S, n, C] float32, ests: [S, n, C] float32. Returns
     ([4, S] metrics, scalar gate): the gate is the RIDGE SENSITIVITY of the
     window — every metric is computed twice, at relative ridges a decade
     apart (1e-5 and 1e-4), and the gate is the largest |dB difference|
-    across all sources and metrics. A regularization-stable window moves
+    across all sources and metrics. ``with_gate=False`` (the
+    ``hybrid_tol=None`` pure-device mode) skips the second ridge entirely —
+    the gate's only consumer is the hybrid fallback, and computing it
+    doubles device time. A regularization-stable window moves
     ~linearly in the ridge, so the decade gap overestimates the remaining
     device-vs-fp64 gap by ~9x — a conservative, DIRECT measure of the one
     failure mode fp32 has here (singular Grams make the projection split
@@ -238,6 +244,8 @@ def _window_kernel(refs, ests, L: int, nfft: int, refine_iters: int):
 
     import jax
     m_lo = metrics_at(1e-5)                                       # [S, 4]
+    if not with_gate:
+        return m_lo.T, jnp.zeros(())                              # [4, S], []
     m_hi = metrics_at(1e-4)
     # nan/inf-safe sensitivity: equal non-finites (both nan, both same-sign
     # inf) are stable; any finite/non-finite mismatch flags the window.
@@ -248,13 +256,16 @@ def _window_kernel(refs, ests, L: int, nfft: int, refine_iters: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _get_kernel(filter_len: int, nfft: int, refine_iters: int, mesh):
-    """One jitted window kernel per (L, nfft, refine, mesh) — rebuilt wrappers
-    would discard JAX's executable cache between tracks of a dataset eval."""
+def _get_kernel(filter_len: int, nfft: int, refine_iters: int, mesh,
+                with_gate: bool = True):
+    """One jitted window kernel per (L, nfft, refine, mesh, gate) — rebuilt
+    wrappers would discard JAX's executable cache between tracks of a
+    dataset eval."""
     import jax
 
     vkern = jax.vmap(functools.partial(
-        _window_kernel, L=filter_len, nfft=nfft, refine_iters=refine_iters))
+        _window_kernel, L=filter_len, nfft=nfft, refine_iters=refine_iters,
+        with_gate=with_gate))
     if mesh is None:
         return jax.jit(vkern)
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -303,7 +314,8 @@ def bss_eval_framewise_tpu(references: np.ndarray, estimates: np.ndarray,
     if mesh is not None:
         # the sharded window axis must divide evenly over the mesh
         window_batch = -(-window_batch // mesh.size) * mesh.size
-    kern = _get_kernel(filter_len, nfft, refine_iters, mesh)
+    kern = _get_kernel(filter_len, nfft, refine_iters, mesh,
+                       with_gate=hybrid_tol is not None)
 
     out = {k: np.full((S, len(starts)), np.nan)
            for k in ("SDR", "ISR", "SIR", "SAR")}

@@ -188,8 +188,9 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
 
     The default scores on the host in fp64 (museval-parity); scoring is
     embarrassingly parallel numpy, so it fans out over a
-    ``scoring_workers``-process pool (default: all cores — the round-2
-    single-scorer-thread bottleneck). ``tpu_bss=True`` opts into the
+    ``scoring_workers``-process pool (default: cores capped at 8 — enough to
+    clear the round-2 single-scorer-thread bottleneck while bounding host
+    memory to ~(workers+1) resident tracks). ``tpu_bss=True`` opts into the
     device-batched fp32 path (eval/bsseval_tpu.py) — SDR exact, catastrophic
     windows auto-routed to host by its ridge-sensitivity gate, but SIR/SAR
     carry up to ~dB-scale fp32 error on ill-conditioned real-music windows
@@ -209,7 +210,13 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
         pool = ThreadPoolExecutor(max_workers=1)
         cap = 2
     else:
-        workers = scoring_workers or os.cpu_count() or 1
+        # Every outstanding task holds full-track multi-source audio
+        # (~0.5-1 GB for a 4-min 44.1 kHz stereo 4-source track between the
+        # args tuple and its pickled in-flight copy), so the worker default
+        # is capped at 8 — host RSS stays bounded at ~(workers+1) tracks
+        # regardless of core count. Pass scoring_workers to raise it on
+        # hosts with the memory to match.
+        workers = scoring_workers or min(os.cpu_count() or 1, 8)
         # spawn, not fork: the parent holds live XLA runtime threads
         pool = ProcessPoolExecutor(max_workers=workers,
                                    mp_context=mp.get_context("spawn"))
@@ -217,6 +224,28 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
 
     errors = []
     pending = []  # (args, future); bounded — each task holds full-track audio
+    pool_broken = False  # one dead worker breaks a ProcessPoolExecutor
+
+    def _submit(args):
+        # A worker crash (BrokenProcessPool) poisons the executor: every
+        # later submit raises. Score inline from then on instead of
+        # aborting the remaining dataset mid-eval.
+        nonlocal pool_broken
+        if not pool_broken:
+            try:
+                pending.append((args, pool.submit(_score_and_write, *args)))
+                return
+            except Exception as e:
+                pool_broken = True
+                print(f"scoring pool broken ({e}); "
+                      f"scoring remaining tracks in-process")
+        _score_inline(args)
+
+    def _score_inline(args):
+        try:
+            _score_and_write(*args)
+        except Exception as e:  # surface at the end, keep scoring
+            errors.append((args[1], e))
 
     def _drain(limit):
         while len(pending) > limit:
@@ -230,10 +259,7 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
                 # one environment quirk doesn't zero out the dataset eval.
                 print(f"scoring worker failed for {args[1]} ({e}); "
                       f"rescoring in-process")
-            try:
-                _score_and_write(*args)
-            except Exception as e:  # surface at the end, keep scoring
-                errors.append((args[1], e))
+            _score_inline(args)
 
     # Idempotent resume: a full-dataset eval takes hours (scoring-bound);
     # already-scored tracks are skipped like the reference's idempotent
@@ -255,7 +281,7 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
         preds = separate_track(sep, cfg, mix, rate)
         args = (cfg, name, mix.shape[0], rate, targets, preds, results_dir,
                 output_path, win_s, tpu_bss, mesh if tpu_bss else None)
-        pending.append((args, pool.submit(_score_and_write, *args)))
+        _submit(args)
         _drain(cap)
         count += 1
         if max_tracks is not None and count >= max_tracks:

@@ -31,16 +31,12 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def checkpoint_path(base_dir: str, experiment_id: str, step: int) -> str:
-    """Canonical path of a step checkpoint (pod processes that do not write
-    still need the same path string for their bookkeeping)."""
-    return os.path.abspath(os.path.join(base_dir, str(experiment_id),
-                                        f"step_{step:010d}"))
-
-
 def save_checkpoint(base_dir: str, experiment_id: str, step: int, state) -> str:
-    """Write state pytree to <base_dir>/<experiment_id>/step_<step>; returns path."""
-    path = checkpoint_path(base_dir, experiment_id, step)
+    """Write state pytree to <base_dir>/<experiment_id>/step_<step>; returns
+    path. Orbax saves are collective: in a pod EVERY process calls this and
+    gets the same path back."""
+    path = os.path.abspath(os.path.join(base_dir, str(experiment_id),
+                                        f"step_{step:010d}"))
     state = jax.device_get(state)
     _ckptr().save(path, state, force=True)
     return path
