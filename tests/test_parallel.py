@@ -188,9 +188,24 @@ def test_pod_two_process_cli_train(tmp_path):
     cfg_kw = dict(num_layers=2, num_frames=256, num_initial_filters=4,
                   batch_size=4, epoch_it=2, num_snippets_per_track=4,
                   cache_size=8, worse_epochs=1,
-                  data_path=str(tmp_path / "cache"))
+                  data_path=str(tmp_path / "cache"),
+                  musdb_path=str(tmp_path / "db"),
+                  estimates_path=str(tmp_path / "est"))
     cfg = get_config("baseline", **cfg_kw)
     _make_cache(tmp_path, cfg, n_songs=4)
+
+    # one musdb-layout test track for final_eval (the pod gate: process 0
+    # evaluates alone on its local devices, the rest exit cleanly)
+    d = tmp_path / "db" / "test" / "songP"
+    d.mkdir(parents=True)
+    from waveunet_tpu.data.audio_io import write_wav
+    n = cfg.expected_sr * 2
+    t = np.arange(n) / cfg.expected_sr
+    voc = (0.3 * np.sin(2 * np.pi * 440 * t))[:, None].astype(np.float32)
+    acc = (0.3 * np.sin(2 * np.pi * 220 * t))[:, None].astype(np.float32)
+    write_wav(str(d / "vocals.wav"), voc, cfg.expected_sr)
+    write_wav(str(d / "accompaniment.wav"), acc, cfg.expected_sr)
+    write_wav(str(d / "mixture.wav"), voc + acc, cfg.expected_sr)
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -200,7 +215,8 @@ def test_pod_two_process_cli_train(tmp_path):
             + [f"{k}={v}" for k, v in cfg_kw.items()]
             + [f"model_base_dir={tmp_path / 'ckpts'}",
                f"log_dir={tmp_path / 'logs'}",
-               "experiment_id=podtrain", "max_epochs=1"])
+               "experiment_id=podtrain", "max_epochs=1",
+               "final_eval=1", "max_tracks=1"])
     worker = os.path.join(os.path.dirname(__file__), "helpers",
                           "pod_train_worker.py")
     procs = [subprocess.Popen(
@@ -237,6 +253,12 @@ def test_pod_two_process_cli_train(tmp_path):
     assert os.path.isdir(best0), best0
     assert os.path.exists(tmp_path / "logs" / "podtrain" / "metrics.jsonl")
     assert os.path.exists(tmp_path / "ckpts" / "podtrain" / "best.txt")
+
+    # final_eval gate: process 0 ran the dataset eval alone (local mesh,
+    # aggregate table printed + JSON written); process 1 exited cleanly
+    assert "SDR median" in outs[0], outs[0][-1500:]
+    assert "pod final_eval runs on process 0 only" in outs[1], outs[1][-1500:]
+    assert os.path.exists(tmp_path / "est" / "test" / "songP.json")
 
 
 def test_scanned_epoch_on_mesh_matches_single_device(tmp_path):

@@ -138,24 +138,38 @@ def cmd_train(args):
     # ends by producing MUSDB source estimates (`Training.py:161-166`). Opt-in
     # here (final_eval=1) since a full BSS-Eval pass can dominate wall-clock.
     if opts.get("final_eval", "0").lower() in ("1", "true", "musdb") and path:
-        if jax.process_count() > 1:
+        pod = jax.process_count() > 1
+        do_eval = True
+        if pod:
             # The dataset eval is a per-track host loop with a shared-FS
             # resume check: N processes would desync their participation in
             # the global mesh's collectives (hang) and race on the output
-            # JSONs/WAVs. Process 0 evaluates alone on its local devices.
+            # JSONs/WAVs. Process 0 evaluates alone on its local devices;
+            # the rest wait at the terminal barrier below — exiting early
+            # instead trips the coordination service's SHUTDOWN BARRIER
+            # (one process's atexit shutdown times out waiting for the
+            # still-evaluating process 0; observed in the 2-process test).
             if jax.process_index() != 0:
-                print("pod final_eval runs on process 0 only; done")
-                return
-            local = jax.local_devices()
-            mesh = (make_mesh(devices=local) if len(local) > 1 else None)
-        from waveunet_tpu.eval.harness import evaluate_musdb
+                print("pod final_eval runs on process 0 only; waiting")
+                do_eval = False
+            else:
+                local = jax.local_devices()
+                mesh = (make_mesh(devices=local) if len(local) > 1 else None)
+        # EVERY process restores: orbax restore is a collective in a pod
+        # (sync_global_processes inside Checkpointer.restore) — a
+        # process-0-only call desyncs against the terminal barrier below.
         params, model_state = _load_params(cfg, path)
-        evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
-                       subset="test", output_path=cfg.estimates_path,
-                       max_tracks=(int(opts["max_tracks"])
-                                   if "max_tracks" in opts else None),
-                       win_s=float(opts.get("win_s", 1.0)),
-                       tpu_bss=_parse_tpu_bss(opts))
+        if do_eval:
+            from waveunet_tpu.eval.harness import evaluate_musdb
+            evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
+                           subset="test", output_path=cfg.estimates_path,
+                           max_tracks=(int(opts["max_tracks"])
+                                       if "max_tracks" in opts else None),
+                           win_s=float(opts.get("win_s", 1.0)),
+                           tpu_bss=_parse_tpu_bss(opts))
+        if pod:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("waveunet_final_eval")
 
 
 def _parse_tpu_bss(opts):
