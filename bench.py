@@ -37,6 +37,25 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    # Watchdog: the axon tunnel goes down for stretches (CLAUDE.md) and the
+    # backend INIT then hangs rather than erroring. A hung bench is worse
+    # than an honest failure record — probe device bring-up in a thread and
+    # bail with an explanatory JSON line if it never completes.
+    import threading
+    probe_ok = threading.Event()
+    threading.Thread(target=lambda: (jax.devices(), probe_ok.set()),
+                     daemon=True).start()
+    if not probe_ok.wait(timeout=float(os.environ.get(
+            "BENCH_BACKEND_TIMEOUT_S", 300))):
+        print(json.dumps({
+            "metric": "audio_seconds_separated_per_sec_per_chip",
+            "value": None,
+            "unit": "audio-s/s/chip (RTF, full_44KHz separation)",
+            "error": "TPU backend init did not complete (axon tunnel down; "
+                     "see CLAUDE.md outage notes) — no measurement taken",
+        }), flush=True)
+        os._exit(4)
+
     import jax.numpy as jnp
 
     from waveunet_tpu.config import get_config
