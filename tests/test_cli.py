@@ -1,129 +1,184 @@
-"""CLI surface tests (subprocess, CPU): presets, prepare-data, train, predict."""
+"""CLI integration tests: every subcommand driven through ``cli.main`` on
+tiny configs — the user surface the reference exposed via sacred
+(`/root/reference/Training.py:152-166`, `Predict.py:14-17`). The pod variant
+of ``train`` is covered separately by
+tests/test_parallel.py::test_pod_two_process_cli_train (real 2-process run).
+"""
 
 import json
 import os
-import subprocess
-import sys
 
 import numpy as np
 import pytest
 
-_ENV_SNIPPET = (
-    "import jax; jax.config.update('jax_platforms', 'cpu'); "
-    "import waveunet_tpu.cli as c; c.main({argv!r})")
+from waveunet_tpu import cli
+from waveunet_tpu.config import get_config
+from waveunet_tpu.data.audio_io import load, write_wav
+
+_SR = 8192
+_CFG_ARGS = ["num_layers=2", "num_frames=256", "num_initial_filters=4",
+             f"expected_sr={_SR}", "batch_size=4", "epoch_it=2",
+             "num_snippets_per_track=4", "cache_size=8", "worse_epochs=1"]
 
 
-def _run_cli(argv, cwd):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))
-    code = _ENV_SNIPPET.format(argv=argv)
-    return subprocess.run([sys.executable, "-c", code], cwd=cwd,
-                          capture_output=True, text=True, timeout=500, env=env)
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    """One shared environment: synthetic cache + musdb-layout db + a
+    checkpoint trained through the REAL `cli train` command."""
+    from tests.test_integration import _make_cache
+
+    root = tmp_path_factory.mktemp("cli")
+    kw = dict(num_layers=2, num_frames=256, num_initial_filters=4,
+              expected_sr=_SR, batch_size=4, epoch_it=2,
+              num_snippets_per_track=4, cache_size=8, worse_epochs=1,
+              data_path=str(root / "cache"), musdb_path=str(root / "db"))
+    cfg = get_config("baseline", **kw)
+    _make_cache(root, cfg, n_songs=3)
+
+    d = root / "db" / "test" / "songC"
+    d.mkdir(parents=True)
+    n = _SR * 2
+    t = np.arange(n) / _SR
+    voc = (0.3 * np.sin(2 * np.pi * 440 * t))[:, None].astype(np.float32)
+    acc = (0.3 * np.sin(2 * np.pi * 220 * t))[:, None].astype(np.float32)
+    write_wav(str(d / "vocals.wav"), voc, _SR)
+    write_wav(str(d / "accompaniment.wav"), acc, _SR)
+    write_wav(str(d / "mixture.wav"), np.clip(voc + acc, -1, 1), _SR)
+
+    args = (_CFG_ARGS
+            + [f"data_path={root / 'cache'}", f"musdb_path={root / 'db'}",
+               f"model_base_dir={root / 'ckpts'}", f"log_dir={root / 'logs'}"])
+    cli.main(["train", "baseline"] + args
+             + ["experiment_id=clitest", "max_epochs=1"])
+    best = open(root / "ckpts" / "clitest" / "best.txt").read().strip()
+    assert os.path.isdir(best)
+    return {"root": root, "args": args, "best": best}
 
 
-def test_presets_cmd(tmp_path):
-    r = _run_cli(["presets"], str(tmp_path))
-    assert r.returncode == 0
-    assert "full_44KHz" in r.stdout and "unet_spectrogram" in r.stdout
+def test_presets_lists_all(capsys):
+    cli.main(["presets"])
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 11  # the reference's 11 named configs
+    assert any(ln.startswith("full_44KHz") for ln in lines)
 
 
-def test_prepare_train_predict_workflow(tmp_path):
-    """The user workflow end to end through the CLI: prepare-data on a WAV
-    dataset, train one epoch, predict a file with the written checkpoint."""
-    from waveunet_tpu.data.audio_io import write_wav
-
-    sr = 8192
-    db = tmp_path / "db"
-    for part in ("train", "test"):
-        for i in range(2):
-            d = db / part / f"s{i}"
-            d.mkdir(parents=True)
-            n = sr * 2
-            t = np.arange(n) / sr
-            v = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[:, None]
-            a = (0.3 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)[:, None]
-            write_wav(str(d / "vocals.wav"), v, sr)
-            write_wav(str(d / "accompaniment.wav"), a, sr)
-            write_wav(str(d / "mixture.wav"), v + a, sr)
-
-    common = ["baseline", "num_layers=2", "num_frames=256",
-              "num_initial_filters=4", "expected_sr=8192", "batch_size=2",
-              "epoch_it=3", "num_snippets_per_track=4", "cache_size=8",
-              "worse_epochs=1", f"musdb_path={db}",
-              f"data_path={tmp_path / 'cache'}",
-              f"model_base_dir={tmp_path / 'ckpts'}",
-              f"log_dir={tmp_path / 'logs'}"]
-
-    r = _run_cli(["prepare-data"] + common, str(tmp_path))
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert (tmp_path / "cache").exists()
-
-    r = _run_cli(["train"] + common + ["max_epochs=1",
-                                       "experiment_id=clitest"], str(tmp_path))
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "Best model" in r.stdout
-    ckpts = os.listdir(tmp_path / "ckpts" / "clitest")
-    assert any(c.startswith("step_") for c in ckpts)
-    best = sorted(ckpts)[-1]
-
-    mix_path = tmp_path / "mix.wav"
-    t = np.arange(sr) / sr
-    write_wav(str(mix_path),
-              (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None],
-              sr)
-    r = _run_cli(["predict"] + common + [
-        f"input_path={mix_path}",
-        f"checkpoint={tmp_path / 'ckpts' / 'clitest' / best}",
-        f"output_path={tmp_path / 'out'}"], str(tmp_path))
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert (tmp_path / "out" / "mix.wav_vocals.wav").exists()
-    assert (tmp_path / "out" / "mix.wav_accompaniment.wav").exists()
+def test_no_command_exits_2():
+    with pytest.raises(SystemExit) as e:
+        cli.main([])
+    assert e.value.code == 2
 
 
-def test_warmup_and_profile_cmds(tmp_path):
-    """warmup + profile subcommands run end to end on a tiny config."""
-    common = ["baseline", "num_layers=2", "num_frames=256",
-              "num_initial_filters=4", "expected_sr=8192",
-              f"log_dir={tmp_path / 'logs'}"]
-    r = _run_cli(["warmup"] + common, str(tmp_path))
-    assert r.returncode == 0, r.stderr[-1500:]
-    assert "warmup complete" in r.stdout
-
-    r = _run_cli(["profile"] + common
-                 + [f"output_path={tmp_path / 'prof'}"], str(tmp_path))
-    assert r.returncode == 0, r.stderr[-1500:]
-    assert (tmp_path / "prof").exists()
+def test_unknown_preset_is_config_error(capsys):
+    with pytest.raises(SystemExit) as e:
+        cli.main(["train", "nonesuch_preset"])
+    assert e.value.code == 2
+    assert "error:" in capsys.readouterr().err
 
 
-def test_stream_cmd(tmp_path):
-    """The serving surface through the CLI: chunked streaming separation of a
-    WAV writes one stem per source at full input length."""
-    from waveunet_tpu.data.audio_io import load, write_wav
+def test_predict_requires_input_path():
+    with pytest.raises(SystemExit) as e:
+        cli.main(["predict", "baseline"])
+    assert e.value.code == 2
 
-    sr = 22050
-    n = sr * 2
-    t = np.arange(n) / sr
-    mix = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None]
-    src = tmp_path / "song.wav"
-    write_wav(str(src), mix, sr)
 
-    r = _run_cli(["stream", "baseline", "num_layers=3", "num_frames=1024",
-                  "num_initial_filters=8", f"input_path={src}",
-                  "chunk_ms=250", "batch_windows=4",
-                  f"output_path={tmp_path}"], str(tmp_path))
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "audio-s/s" in r.stdout and "latency" in r.stdout
+def test_train_wrote_checkpoint_and_metrics(cli_env):
+    root = cli_env["root"]
+    assert os.path.exists(root / "logs" / "clitest" / "metrics.jsonl")
+    assert os.path.exists(root / "logs" / "clitest" / "config.json")
+
+
+def test_predict_cli(cli_env, tmp_path):
+    root = cli_env["root"]
+    mix = str(root / "db" / "test" / "songC" / "mixture.wav")
+    cli.main(["predict", "baseline"] + cli_env["args"]
+             + [f"input_path={mix}", f"checkpoint={cli_env['best']}",
+                f"output_path={tmp_path}"])
+    n = load(mix, sr=None, mono=False)[0].shape[0]
     for s in ("vocals", "accompaniment"):
-        out, osr = load(str(tmp_path / f"song.wav_{s}_stream.wav"), sr=None,
-                        mono=False)
-        assert osr == sr and out.shape[0] == n
+        y, sr = load(str(tmp_path / f"mixture.wav_{s}.wav"), sr=None,
+                     mono=False)
+        assert sr == _SR and y.shape[0] == n
 
 
-def test_warmup_cmd(tmp_path):
-    """warmup precompiles every chunk program (pow2 tails x H2D modes)."""
-    r = _run_cli(["warmup", "baseline", "num_layers=2", "num_frames=256",
-                  "num_initial_filters=4", "infer_batch=4", "max_song_s=5"],
-                 str(tmp_path))
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "programs exercised" in r.stdout
+def test_evaluate_cli(cli_env, tmp_path):
+    cli.main(["evaluate", "baseline"] + cli_env["args"]
+             + [f"checkpoint={cli_env['best']}", "subset=test",
+                f"output_path={tmp_path}", "max_tracks=1"])
+    p = tmp_path / "test" / "songC.json"
+    assert p.exists()
+    rec = json.loads(open(p).read())
+    names = {t["name"] for t in rec["targets"]}
+    assert names == {"vocals", "accompaniment"}
+
+
+def test_stream_cli(cli_env, tmp_path):
+    root = cli_env["root"]
+    mix = str(root / "db" / "test" / "songC" / "mixture.wav")
+    cli.main(["stream", "baseline"] + cli_env["args"]
+             + [f"input_path={mix}", f"checkpoint={cli_env['best']}",
+                "chunk_ms=100", "batch_windows=2",
+                f"output_path={tmp_path}"])
+    n = load(mix, sr=None, mono=False)[0].shape[0]
+    for s in ("vocals", "accompaniment"):
+        y, sr = load(str(tmp_path / f"mixture.wav_{s}_stream.wav"), sr=None,
+                     mono=False)
+        assert sr == _SR and y.shape[0] == n
+
+
+def test_warmup_cli(cli_env, capsys):
+    cli.main(["warmup", "baseline"] + cli_env["args"]
+             + [f"checkpoint={cli_env['best']}", "max_song_s=2"])
+    assert "warmup complete" in capsys.readouterr().out
+
+
+def test_profile_cli(cli_env, tmp_path):
+    cli.main(["profile", "baseline"] + cli_env["args"]
+             + [f"checkpoint={cli_env['best']}", f"output_path={tmp_path}"])
+    # a jax.profiler trace directory with at least one event file
+    found = [os.path.join(dp, f) for dp, _, fs in os.walk(tmp_path)
+             for f in fs]
+    assert found, "profiler trace wrote no files"
+
+
+def test_prepare_data_cli(tmp_path, capsys):
+    from tests.test_integration import _make_cache
+
+    kw = dict(num_layers=2, num_frames=256, num_initial_filters=4,
+              expected_sr=_SR, batch_size=4, epoch_it=2,
+              num_snippets_per_track=4, cache_size=8, worse_epochs=1,
+              data_path=str(tmp_path / "cache2"),
+              musdb_path=str(tmp_path / "db"))
+    cfg = get_config("baseline", **kw)
+    # _make_cache prepares data_path; prepare-data must rebuild into cache2
+    _make_cache(tmp_path, cfg, n_songs=2)
+    cli.main(["prepare-data", "baseline"] + _CFG_ARGS
+             + [f"data_path={tmp_path / 'cache2'}",
+                f"musdb_path={tmp_path / 'db'}"])
+    assert "Cache ready" in capsys.readouterr().out
+
+
+def test_convert_checkpoint_cli(tmp_path, capsys):
+    """TF zoo checkpoint -> orbax via the CLI, then predict with it."""
+    golden = os.path.join(os.path.dirname(__file__), "golden", "waveunet_tf",
+                          "same_linear_direct_mono", "model.ckpt")
+    if not os.path.exists(golden + ".index"):
+        pytest.skip("golden TF checkpoint missing")
+    conv_args = ["num_layers=3", "num_frames=512", "num_initial_filters=8"]
+    cli.main(["convert-checkpoint", "baseline"] + conv_args
+             + [f"checkpoint={golden}", f"output_path={tmp_path}"])
+    out = capsys.readouterr().out
+    assert "converted checkpoint written to" in out
+    conv = out.strip().splitlines()[-1].split("written to ")[-1]
+
+    sr = get_config("baseline").expected_sr
+    mix = (0.1 * np.random.default_rng(0).standard_normal((sr, 1))
+           ).astype(np.float32)
+    src = str(tmp_path / "m.wav")
+    write_wav(src, mix, sr)
+    cli.main(["predict", "baseline"] + conv_args
+             + [f"input_path={src}", f"checkpoint={conv}",
+                f"output_path={tmp_path / 'out'}"])
+    y, ysr = load(str(tmp_path / "out" / "m.wav_vocals.wav"), sr=None,
+                  mono=False)
+    assert ysr == sr and y.shape[0] == mix.shape[0]
