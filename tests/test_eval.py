@@ -333,3 +333,66 @@ def test_harness_survives_broken_scoring_pool(tmp_path, rng, monkeypatch,
     got = set(os.listdir(tmp_path / "est" / "test"))
     assert {"songA.json", "songB.json"} <= got  # both tracks still scored
     assert "scoring pool broken" in capsys.readouterr().out
+
+
+def test_harness_track_sharding(tmp_path, rng, capsys):
+    """shard_index/shard_count stride the sorted track enumeration: shards
+    score disjoint tracks (non-owned tracks skipped BEFORE decode), their
+    union covers the subset, max_tracks bounds the GLOBAL enumeration, and
+    aggregate=False defers the table to the caller (the pod wiring)."""
+    import jax
+
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.data.audio_io import write_wav
+    from waveunet_tpu.eval.harness import aggregate_and_print, evaluate_musdb
+    from waveunet_tpu.models.waveunet import init_waveunet
+
+    sr = 8192
+    n = sr * 2
+    cfg = get_config("baseline", num_layers=3, num_frames=1024,
+                     expected_sr=sr, musdb_path=str(tmp_path / "db"))
+    t = np.arange(n) / sr
+    songs = ["songA", "songB", "songC"]
+    for i, song in enumerate(songs):
+        d = tmp_path / "db" / "test" / song
+        d.mkdir(parents=True)
+        v = (0.3 * np.sin(2 * np.pi * (300 + 40 * i) * t))[:, None]
+        a = (0.3 * np.sin(2 * np.pi * (150 + 20 * i) * t))[:, None]
+        write_wav(str(d / "vocals.wav"), v.astype(np.float32), sr)
+        write_wav(str(d / "accompaniment.wav"), a.astype(np.float32), sr)
+        write_wav(str(d / "mixture.wav"), (v + a).astype(np.float32), sr)
+
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    res_dir = tmp_path / "est" / "test"
+
+    # shard 0 of 2 owns positions 0, 2 -> songA, songC
+    out0 = evaluate_musdb(cfg, params, subset="test",
+                          output_path=str(tmp_path / "est"),
+                          shard_index=0, shard_count=2, aggregate=False)
+    assert out0 is None  # per-shard aggregation deferred
+    assert set(os.listdir(res_dir)) == {"songA.json", "songC.json"}
+    text = capsys.readouterr().out
+    assert "Skipping songB (shard 1/2's track)" in text
+    assert ": SDR median" not in text  # no per-shard aggregate table
+
+    # shard 1 of 2 owns position 1 -> songB; union now covers the subset
+    evaluate_musdb(cfg, params, subset="test",
+                   output_path=str(tmp_path / "est"),
+                   shard_index=1, shard_count=2, aggregate=False)
+    assert set(os.listdir(res_dir)) == {f"{s}.json" for s in songs}
+    capsys.readouterr()
+
+    # the caller-side aggregation sees every shard's results
+    stats = aggregate_and_print(str(res_dir))
+    assert len(stats) == 2
+    assert ": SDR median" in capsys.readouterr().out
+
+    # max_tracks bounds the GLOBAL enumeration: with max_tracks=1 only
+    # position 0 is considered, so shard 1 of 2 scores nothing even with an
+    # empty results dir.
+    for f in os.listdir(res_dir):
+        os.remove(os.path.join(res_dir, f))
+    evaluate_musdb(cfg, params, subset="test",
+                   output_path=str(tmp_path / "est"), max_tracks=1,
+                   shard_index=1, shard_count=2, aggregate=False)
+    assert os.listdir(res_dir) == []

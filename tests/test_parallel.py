@@ -176,7 +176,9 @@ def test_pod_two_process_cli_train(tmp_path):
     sharing a coordinator over gloo. Both must converge with IDENTICAL
     validation/test losses (every loss is a cross-process collective), train
     from per-host device banks over disjoint song subsets, and only process 0
-    writes checkpoints/metrics."""
+    writes checkpoints/metrics. The terminal final_eval is track-sharded:
+    every process scores a disjoint stride of the test tracks on its local
+    devices, then process 0 aggregates the shared results dir."""
     import json
     import re
     import socket
@@ -194,18 +196,19 @@ def test_pod_two_process_cli_train(tmp_path):
     cfg = get_config("baseline", **cfg_kw)
     _make_cache(tmp_path, cfg, n_songs=4)
 
-    # one musdb-layout test track for final_eval (the pod gate: process 0
-    # evaluates alone on its local devices, the rest exit cleanly)
-    d = tmp_path / "db" / "test" / "songP"
-    d.mkdir(parents=True)
+    # two musdb-layout test tracks for final_eval: the pod eval strides the
+    # sorted enumeration across processes (songP -> shard 0, songQ -> shard 1)
     from waveunet_tpu.data.audio_io import write_wav
     n = cfg.expected_sr * 2
     t = np.arange(n) / cfg.expected_sr
-    voc = (0.3 * np.sin(2 * np.pi * 440 * t))[:, None].astype(np.float32)
-    acc = (0.3 * np.sin(2 * np.pi * 220 * t))[:, None].astype(np.float32)
-    write_wav(str(d / "vocals.wav"), voc, cfg.expected_sr)
-    write_wav(str(d / "accompaniment.wav"), acc, cfg.expected_sr)
-    write_wav(str(d / "mixture.wav"), voc + acc, cfg.expected_sr)
+    for song, f0, f1 in (("songP", 440.0, 220.0), ("songQ", 330.0, 110.0)):
+        d = tmp_path / "db" / "test" / song
+        d.mkdir(parents=True)
+        voc = (0.3 * np.sin(2 * np.pi * f0 * t))[:, None].astype(np.float32)
+        acc = (0.3 * np.sin(2 * np.pi * f1 * t))[:, None].astype(np.float32)
+        write_wav(str(d / "vocals.wav"), voc, cfg.expected_sr)
+        write_wav(str(d / "accompaniment.wav"), acc, cfg.expected_sr)
+        write_wav(str(d / "mixture.wav"), voc + acc, cfg.expected_sr)
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -216,7 +219,7 @@ def test_pod_two_process_cli_train(tmp_path):
             + [f"model_base_dir={tmp_path / 'ckpts'}",
                f"log_dir={tmp_path / 'logs'}",
                "experiment_id=podtrain", "max_epochs=1",
-               "final_eval=1", "max_tracks=1"])
+               "final_eval=1", "max_tracks=2"])
     worker = os.path.join(os.path.dirname(__file__), "helpers",
                           "pod_train_worker.py")
     procs = [subprocess.Popen(
@@ -254,11 +257,20 @@ def test_pod_two_process_cli_train(tmp_path):
     assert os.path.exists(tmp_path / "logs" / "podtrain" / "metrics.jsonl")
     assert os.path.exists(tmp_path / "ckpts" / "podtrain" / "best.txt")
 
-    # final_eval gate: process 0 ran the dataset eval alone (local mesh,
-    # aggregate table printed + JSON written); process 1 exited cleanly
+    # final_eval is track-sharded: each process scored its stride of the
+    # sorted track list on LOCAL devices (songP -> shard 0, songQ -> shard 1),
+    # both JSONs landed in the shared results dir, and only process 0 printed
+    # the aggregate table (after the terminal barrier, over BOTH shards'
+    # results).
+    for i, song in enumerate(("songP", "songQ")):
+        assert f"Separating {song}" in outs[i], outs[i][-1500:]
+        assert f"{song} median SDR" in outs[i], outs[i][-1500:]
+        assert os.path.exists(tmp_path / "est" / "test" / f"{song}.json")
+    assert "Skipping songQ (shard 1/2's track)" in outs[0], outs[0][-1500:]
+    assert "Skipping songP (shard 0/2's track)" in outs[1], outs[1][-1500:]
+    # aggregate table ("<src>: SDR median ...") comes from process 0 only
     assert "SDR median" in outs[0], outs[0][-1500:]
-    assert "pod final_eval runs on process 0 only" in outs[1], outs[1][-1500:]
-    assert os.path.exists(tmp_path / "est" / "test" / "songP.json")
+    assert ": SDR median" not in outs[1], outs[1][-1500:]
 
 
 def test_scanned_epoch_on_mesh_matches_single_device(tmp_path):

@@ -139,37 +139,44 @@ def cmd_train(args):
     # here (final_eval=1) since a full BSS-Eval pass can dominate wall-clock.
     if opts.get("final_eval", "0").lower() in ("1", "true", "musdb") and path:
         pod = jax.process_count() > 1
-        do_eval = True
+        shard_index, shard_count = 0, 1
         if pod:
-            # The dataset eval is a per-track host loop with a shared-FS
-            # resume check: N processes would desync their participation in
-            # the global mesh's collectives (hang) and race on the output
-            # JSONs/WAVs. Process 0 evaluates alone on its local devices;
-            # the rest wait at the terminal barrier below — exiting early
-            # instead trips the coordination service's SHUTDOWN BARRIER
-            # (one process's atexit shutdown times out waiting for the
-            # still-evaluating process 0; observed in the 2-process test).
-            if jax.process_index() != 0:
-                print("pod final_eval runs on process 0 only; waiting")
-                do_eval = False
-            else:
-                local = jax.local_devices()
-                mesh = (make_mesh(devices=local) if len(local) > 1 else None)
+            # The dataset eval is a per-track host loop with shared-FS
+            # writes: it must not steer GLOBAL collectives (desync -> hang).
+            # Each process instead scores a disjoint stride of tracks on its
+            # LOCAL devices only (per-track JSON/WAV outputs never collide),
+            # then all meet at the terminal barrier — exiting early instead
+            # trips the coordination service's SHUTDOWN BARRIER (one
+            # process's atexit shutdown times out waiting for a
+            # still-evaluating peer; observed in the 2-process test) —
+            # and process 0 aggregates the shared results dir once.
+            shard_index = jax.process_index()
+            shard_count = jax.process_count()
+            local = jax.local_devices()
+            mesh = (make_mesh(devices=local) if len(local) > 1 else None)
+            print(f"pod final_eval: scoring track shard "
+                  f"{shard_index}/{shard_count} on {len(local)} "
+                  f"local device(s)")
         # EVERY process restores: orbax restore is a collective in a pod
         # (sync_global_processes inside Checkpointer.restore) — a
         # process-0-only call desyncs against the terminal barrier below.
         params, model_state = _load_params(cfg, path)
-        if do_eval:
-            from waveunet_tpu.eval.harness import evaluate_musdb
-            evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
-                           subset="test", output_path=cfg.estimates_path,
-                           max_tracks=(int(opts["max_tracks"])
-                                       if "max_tracks" in opts else None),
-                           win_s=float(opts.get("win_s", 1.0)),
-                           tpu_bss=_parse_tpu_bss(opts))
+        from waveunet_tpu.eval.harness import evaluate_musdb
+        evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
+                       subset="test", output_path=cfg.estimates_path,
+                       max_tracks=(int(opts["max_tracks"])
+                                   if "max_tracks" in opts else None),
+                       win_s=float(opts.get("win_s", 1.0)),
+                       tpu_bss=_parse_tpu_bss(opts),
+                       shard_index=shard_index, shard_count=shard_count,
+                       aggregate=not pod)
         if pod:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices("waveunet_final_eval")
+            if jax.process_index() == 0:
+                from waveunet_tpu.eval.harness import aggregate_and_print
+                aggregate_and_print(
+                    os.path.join(cfg.estimates_path, "test"))
 
 
 def _parse_tpu_bss(opts):

@@ -174,11 +174,23 @@ def _score_and_write(cfg, name, mix_len, rate, targets, preds, results_dir,
     return per_target
 
 
+def aggregate_and_print(results_dir: str):
+    """Aggregate every per-track JSON under ``results_dir`` and print the
+    reference's summary table (`Evaluate.py:195-231` statistics)."""
+    stats, names = compute_mean_metrics(results_dir, return_names=True)
+    for name, (median, mad, mean, sd) in zip(names, stats):
+        print(f"{name}: SDR median {median:.2f} (MAD {mad:.2f}) "
+              f"mean {mean:.2f} (SD {sd:.2f})")
+    return stats
+
+
 def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
                    subset: str = "test", output_path: str = "estimates",
                    max_tracks: Optional[int] = None, win_s: float = 1.0,
                    tpu_bss: bool = False,
-                   scoring_workers: Optional[int] = None):
+                   scoring_workers: Optional[int] = None,
+                   shard_index: int = 0, shard_count: int = 1,
+                   aggregate: bool = True):
     """Full-dataset evaluation; prints the aggregate table at the end.
 
     Pipelined: while the BSS-Eval scoring of track i runs in workers, the
@@ -197,6 +209,16 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
     (measured; see that module's accuracy contract) — right for monitoring
     and ablations, not for publication tables. Device scoring shares the
     chip with separation, so it runs in ONE in-process thread.
+
+    Pod scale: ``shard_index``/``shard_count`` stride the subset's tracks
+    (position in the deterministic sorted enumeration, mod ``shard_count``)
+    so N processes each score a disjoint shard on their LOCAL devices with
+    no cross-process collectives — JSON/WAV outputs are per-track files on
+    the shared FS, so shards never collide. ``max_tracks`` bounds the
+    GLOBAL enumeration (every shard counts all tracks), so shards agree on
+    the cut. The caller barriers afterwards and aggregates once via
+    :func:`aggregate_and_print` (``aggregate=False`` skips the per-shard
+    table; see ``cli.py train final_eval=1`` for the pod wiring).
     """
     import multiprocessing as mp
     from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
@@ -264,15 +286,30 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
     # Idempotent resume: a full-dataset eval takes hours (scoring-bound);
     # already-scored tracks are skipped like the reference's idempotent
     # ingest (`Datasets.py:233-245`) — BEFORE their audio is decoded.
-    # Delete the JSON to re-evaluate.
+    # Delete the JSON to re-evaluate. Shard ownership is decided here too,
+    # from the track's position in the enumeration (iter_tracks yields every
+    # track exactly once, in deterministic order, calling ``skip`` for each).
     def _scored(name):
         return os.path.exists(os.path.join(results_dir, f"{name}.json"))
 
+    skip_state = {"i": -1, "why": ""}
+
+    def _skip(name):
+        skip_state["i"] += 1
+        if skip_state["i"] % shard_count != shard_index:
+            skip_state["why"] = (
+                f"shard {skip_state['i'] % shard_count}/{shard_count}'s track")
+            return True
+        if _scored(name):
+            skip_state["why"] = "already evaluated"
+            return True
+        return False
+
     count = 0
     for name, mix, rate, targets in iter_tracks(cfg.musdb_path, subset,
-                                                skip=_scored):
+                                                skip=_skip):
         if mix is None:
-            print(f"Skipping {name} (already evaluated)")
+            print(f"Skipping {name} ({skip_state['why']})")
             count += 1
             if max_tracks is not None and count >= max_tracks:
                 break
@@ -291,8 +328,6 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
     for name, e in errors:
         print(f"WARNING: scoring failed for {name}: {e}")
 
-    stats, names = compute_mean_metrics(results_dir, return_names=True)
-    for name, (median, mad, mean, sd) in zip(names, stats):
-        print(f"{name}: SDR median {median:.2f} (MAD {mad:.2f}) "
-              f"mean {mean:.2f} (SD {sd:.2f})")
-    return stats
+    if not aggregate:
+        return None  # pod shard: the caller barriers, then aggregates once
+    return aggregate_and_print(results_dir)
