@@ -1,12 +1,13 @@
-"""Worker for the 2-process pod TRAINING test (tests/test_parallel.py).
+"""Worker for the 2-process pod CLI tests (tests/test_parallel.py).
 
 Unlike pod_worker.py (library-level step test), this drives the REAL product
-surface: ``cli train`` with the ``coordinator=/num_processes=/process_id=``
-options, under gloo CPU collectives — the one-command pod training path
-(`/root/reference/Training.py:152-166` + SURVEY.md §C22/C23).
+surface: a ``cli`` subcommand with the ``coordinator=/num_processes=/
+process_id=`` options, under gloo CPU collectives — the one-command pod
+paths (`/root/reference/Training.py:152-166` + SURVEY.md §C22/C23).
 
-argv: <process_id> <num_processes> <port> <cli_args_json>
-  cli_args_json: JSON list of CLI fragments (preset, overrides, options).
+argv: <process_id> <num_processes> <port> <cli_argv_json>
+  cli_argv_json: JSON list of CLI fragments STARTING WITH the subcommand
+  (e.g. ["train", "baseline", ...] or ["evaluate", ...]).
 """
 
 import json
@@ -30,9 +31,9 @@ def main():
 
     from waveunet_tpu import cli
 
-    cli.main(["train"] + args + [f"coordinator=127.0.0.1:{port}",
-                                 f"num_processes={nproc}",
-                                 f"process_id={pid}"])
+    cli.main(args + [f"coordinator=127.0.0.1:{port}",
+                     f"num_processes={nproc}",
+                     f"process_id={pid}"])
     print(json.dumps({"pid": pid, "done": True}), flush=True)
 
 

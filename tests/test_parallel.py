@@ -214,7 +214,7 @@ def test_pod_two_process_cli_train(tmp_path):
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
-    args = (["baseline"]
+    args = (["train", "baseline"]
             + [f"{k}={v}" for k, v in cfg_kw.items()]
             + [f"model_base_dir={tmp_path / 'ckpts'}",
                f"log_dir={tmp_path / 'logs'}",
@@ -270,6 +270,60 @@ def test_pod_two_process_cli_train(tmp_path):
     assert "Skipping songP (shard 0/2's track)" in outs[1], outs[1][-1500:]
     # aggregate table ("<src>: SDR median ...") comes from process 0 only
     assert "SDR median" in outs[0], outs[0][-1500:]
+    assert ": SDR median" not in outs[1], outs[1][-1500:]
+
+
+def test_pod_two_process_cli_evaluate(tmp_path):
+    """`cli evaluate` under the same pod grammar as `train`: two processes
+    score a disjoint track shard each on their local devices (random-init
+    params — the surface under test is the sharded wiring, not quality) and
+    process 0 prints the aggregate table over both shards' JSONs."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    from waveunet_tpu.data.audio_io import write_wav
+
+    cfg_kw = dict(num_layers=2, num_frames=256, num_initial_filters=4,
+                  musdb_path=str(tmp_path / "db"),
+                  estimates_path=str(tmp_path / "est"))
+    cfg = get_config("baseline", **cfg_kw)
+    n = cfg.expected_sr * 2
+    t = np.arange(n) / cfg.expected_sr
+    for song, f0, f1 in (("songP", 440.0, 220.0), ("songQ", 330.0, 110.0)):
+        d = tmp_path / "db" / "test" / song
+        d.mkdir(parents=True)
+        voc = (0.3 * np.sin(2 * np.pi * f0 * t))[:, None].astype(np.float32)
+        acc = (0.3 * np.sin(2 * np.pi * f1 * t))[:, None].astype(np.float32)
+        write_wav(str(d / "vocals.wav"), voc, cfg.expected_sr)
+        write_wav(str(d / "accompaniment.wav"), acc, cfg.expected_sr)
+        write_wav(str(d / "mixture.wav"), voc + acc, cfg.expected_sr)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    args = ["evaluate", "baseline"] + [f"{k}={v}" for k, v in cfg_kw.items()]
+    worker = os.path.join(os.path.dirname(__file__), "helpers",
+                          "pod_train_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), json.dumps(args)],
+        env=dict(os.environ), stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, (err.decode()[-3000:], out.decode()[-1000:])
+        outs.append(out.decode())
+
+    for i, song in enumerate(("songP", "songQ")):
+        assert f"pod test eval: scoring track shard {i}/2" in outs[i], \
+            outs[i][-1500:]
+        assert f"Separating {song}" in outs[i], outs[i][-1500:]
+        assert os.path.exists(tmp_path / "est" / "test" / f"{song}.json")
+    # aggregate table printed by process 0 only, over BOTH shards
+    assert ": SDR median" in outs[0], outs[0][-1500:]
     assert ": SDR median" not in outs[1], outs[1][-1500:]
 
 

@@ -70,22 +70,7 @@ def cmd_train(args):
 
     cfg_frags, opts = _split_args(args)
     cfg = config_from_cli(cfg_frags)
-    # Multi-host (pod) bring-up BEFORE any device use: after initialize(),
-    # jax.devices() spans every process and the mesh below is global. One
-    # command per host, e.g.
-    #   cli train full_44KHz coordinator=host0:1234 num_processes=4 \
-    #       process_id=<i> experiment_id=run1
-    # (on GCE TPU pods, plain `cli train ...` autodetects instead).
-    if "coordinator" in opts or "num_processes" in opts:
-        from waveunet_tpu.parallel import distributed as D
-        pid = D.initialize(
-            coordinator_address=opts.get("coordinator"),
-            num_processes=(int(opts["num_processes"])
-                           if "num_processes" in opts else None),
-            process_id=(int(opts["process_id"])
-                        if "process_id" in opts else None))
-        print(f"pod process {pid}/{jax.process_count()} up; "
-              f"{jax.device_count()} global devices")
+    _maybe_init_pod(jax, opts)
     if not cache.is_prepared(cfg):
         if jax.process_count() > 1 and jax.process_index() != 0:
             # One preparer; the rest poll for the completion marker — with a
@@ -138,45 +123,76 @@ def cmd_train(args):
     # ends by producing MUSDB source estimates (`Training.py:161-166`). Opt-in
     # here (final_eval=1) since a full BSS-Eval pass can dominate wall-clock.
     if opts.get("final_eval", "0").lower() in ("1", "true", "musdb") and path:
-        pod = jax.process_count() > 1
-        shard_index, shard_count = 0, 1
-        if pod:
-            # The dataset eval is a per-track host loop with shared-FS
-            # writes: it must not steer GLOBAL collectives (desync -> hang).
-            # Each process instead scores a disjoint stride of tracks on its
-            # LOCAL devices only (per-track JSON/WAV outputs never collide),
-            # then all meet at the terminal barrier — exiting early instead
-            # trips the coordination service's SHUTDOWN BARRIER (one
-            # process's atexit shutdown times out waiting for a
-            # still-evaluating peer; observed in the 2-process test) —
-            # and process 0 aggregates the shared results dir once.
-            shard_index = jax.process_index()
-            shard_count = jax.process_count()
-            local = jax.local_devices()
-            mesh = (make_mesh(devices=local) if len(local) > 1 else None)
-            print(f"pod final_eval: scoring track shard "
-                  f"{shard_index}/{shard_count} on {len(local)} "
-                  f"local device(s)")
-        # EVERY process restores: orbax restore is a collective in a pod
-        # (sync_global_processes inside Checkpointer.restore) — a
-        # process-0-only call desyncs against the terminal barrier below.
-        params, model_state = _load_params(cfg, path)
-        from waveunet_tpu.eval.harness import evaluate_musdb
-        evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
-                       subset="test", output_path=cfg.estimates_path,
-                       max_tracks=(int(opts["max_tracks"])
-                                   if "max_tracks" in opts else None),
-                       win_s=float(opts.get("win_s", 1.0)),
-                       tpu_bss=_parse_tpu_bss(opts),
-                       shard_index=shard_index, shard_count=shard_count,
-                       aggregate=not pod)
-        if pod:
-            from jax.experimental import multihost_utils
-            multihost_utils.sync_global_devices("waveunet_final_eval")
-            if jax.process_index() == 0:
-                from waveunet_tpu.eval.harness import aggregate_and_print
-                aggregate_and_print(
-                    os.path.join(cfg.estimates_path, "test"))
+        _dataset_eval(jax, cfg, opts, path, subset="test",
+                      output_path=cfg.estimates_path)
+
+
+def _maybe_init_pod(jax, opts):
+    """Multi-host (pod) bring-up BEFORE any device use: after initialize(),
+    jax.devices() spans every process and global meshes work. One command
+    per host, e.g.
+
+        cli train full_44KHz coordinator=host0:1234 num_processes=4 \\
+            process_id=<i> experiment_id=run1
+
+    (on GCE TPU pods, plain ``cli train ...`` autodetects instead). No-op
+    without the coordinator=/num_processes= options."""
+    if "coordinator" not in opts and "num_processes" not in opts:
+        return
+    from waveunet_tpu.parallel import distributed as D
+    pid = D.initialize(
+        coordinator_address=opts.get("coordinator"),
+        num_processes=(int(opts["num_processes"])
+                       if "num_processes" in opts else None),
+        process_id=(int(opts["process_id"])
+                    if "process_id" in opts else None))
+    print(f"pod process {pid}/{jax.process_count()} up; "
+          f"{jax.device_count()} global devices")
+
+
+def _dataset_eval(jax, cfg, opts, checkpoint, subset, output_path):
+    """Full-dataset eval shared by ``train final_eval=1`` and ``evaluate``.
+
+    Single process: one window-parallel engine over all devices, aggregate
+    table printed directly. Pod: the dataset eval is a per-track host loop
+    with shared-FS writes — it must not steer GLOBAL collectives (desync ->
+    hang) — so each process scores a disjoint stride of tracks on its LOCAL
+    devices only (per-track JSON/WAV outputs never collide), all meet at
+    the terminal barrier (exiting early instead trips the coordination
+    service's SHUTDOWN BARRIER: one process's atexit shutdown times out
+    waiting for a still-evaluating peer; observed in the 2-process test),
+    and process 0 aggregates the shared results dir once."""
+    from waveunet_tpu.eval.harness import aggregate_and_print, evaluate_musdb
+    from waveunet_tpu.parallel.mesh import make_mesh
+
+    pod = jax.process_count() > 1
+    shard_index, shard_count = 0, 1
+    if pod:
+        shard_index = jax.process_index()
+        shard_count = jax.process_count()
+        local = jax.local_devices()
+        mesh = (make_mesh(devices=local) if len(local) > 1 else None)
+        print(f"pod {subset} eval: scoring track shard "
+              f"{shard_index}/{shard_count} on {len(local)} local device(s)")
+    else:
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
+    # EVERY process restores: orbax restore is a collective in a pod
+    # (sync_global_processes inside Checkpointer.restore) — a
+    # process-0-only call desyncs against the terminal barrier below.
+    params, model_state = _load_params(cfg, checkpoint)
+    evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
+                   subset=subset, output_path=output_path,
+                   max_tracks=(int(opts["max_tracks"])
+                               if "max_tracks" in opts else None),
+                   win_s=float(opts.get("win_s", 1.0)),
+                   tpu_bss=_parse_tpu_bss(opts),
+                   shard_index=shard_index, shard_count=shard_count,
+                   aggregate=not pod)
+    if pod:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("waveunet_dataset_eval")
+        if jax.process_index() == 0:
+            aggregate_and_print(os.path.join(output_path, subset))
 
 
 def _parse_tpu_bss(opts):
@@ -233,20 +249,16 @@ def cmd_evaluate(args):
     _setup_jax()
     import jax
     from waveunet_tpu.config import config_from_cli
-    from waveunet_tpu.eval.harness import evaluate_musdb
-    from waveunet_tpu.parallel.mesh import make_mesh
 
     cfg_frags, opts = _split_args(args)
     cfg = config_from_cli(cfg_frags)
-    params, model_state = _load_params(cfg, opts.get("checkpoint"))
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
-    evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
-                   subset=opts.get("subset", "test"),
-                   output_path=opts.get("output_path", cfg.estimates_path),
-                   max_tracks=(int(opts["max_tracks"])
-                               if "max_tracks" in opts else None),
-                   win_s=float(opts.get("win_s", 1.0)),
-                   tpu_bss=_parse_tpu_bss(opts))
+    # Same pod grammar as `train`: run one `evaluate` per host with
+    # coordinator=/num_processes=/process_id= and the test set is scored
+    # track-sharded across hosts (process 0 prints the aggregate table).
+    _maybe_init_pod(jax, opts)
+    _dataset_eval(jax, cfg, opts, opts.get("checkpoint"),
+                  subset=opts.get("subset", "test"),
+                  output_path=opts.get("output_path", cfg.estimates_path))
 
 
 def cmd_prepare_data(args):
