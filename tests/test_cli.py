@@ -101,6 +101,36 @@ def test_predict_cli(cli_env, tmp_path):
         assert sr == _SR and y.shape[0] == n
 
 
+def test_predict_cli_checkpoint_auto(cli_env, tmp_path, capsys):
+    """checkpoint=auto resolves the newest trained step dir — with an
+    experiment_id, and without one (newest across all experiments)."""
+    root = cli_env["root"]
+    mix = str(root / "db" / "test" / "songC" / "mixture.wav")
+    for extra in (["experiment_id=clitest"], []):
+        cli.main(["predict", "baseline"] + cli_env["args"]
+                 + [f"input_path={mix}", "checkpoint=auto",
+                    f"output_path={tmp_path}"] + extra)
+        out = capsys.readouterr().out
+        assert "checkpoint=auto -> " in out
+        assert str(root / "ckpts" / "clitest") in out
+    n = load(mix, sr=None, mono=False)[0].shape[0]
+    y, sr = load(str(tmp_path / "mixture.wav_vocals.wav"), sr=None,
+                 mono=False)
+    assert sr == _SR and y.shape[0] == n
+
+
+def test_predict_checkpoint_auto_empty_is_error(cli_env, tmp_path):
+    """A dangling checkpoint=auto must error out, not separate with random
+    weights."""
+    root = cli_env["root"]
+    mix = str(root / "db" / "test" / "songC" / "mixture.wav")
+    with pytest.raises(SystemExit) as e:
+        cli.main(["predict", "baseline"] + cli_env["args"]
+                 + [f"input_path={mix}", "checkpoint=auto",
+                    f"model_base_dir={tmp_path / 'nothing'}"])
+    assert e.value.code == 2
+
+
 def test_evaluate_cli(cli_env, tmp_path):
     cli.main(["evaluate", "baseline"] + cli_env["args"]
              + [f"checkpoint={cli_env['best']}", "subset=test",

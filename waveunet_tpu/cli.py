@@ -179,7 +179,8 @@ def _dataset_eval(jax, cfg, opts, checkpoint, subset, output_path):
     # EVERY process restores: orbax restore is a collective in a pod
     # (sync_global_processes inside Checkpointer.restore) — a
     # process-0-only call desyncs against the terminal barrier below.
-    params, model_state = _load_params(cfg, checkpoint)
+    params, model_state = _load_params(cfg, checkpoint,
+                                       opts.get("experiment_id", ""))
     evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
                    subset=subset, output_path=output_path,
                    max_tracks=(int(opts["max_tracks"])
@@ -204,11 +205,25 @@ def _parse_tpu_bss(opts):
     return v in ("1", "true", "fp32")
 
 
-def _load_params(cfg, checkpoint):
+def _load_params(cfg, checkpoint, experiment_id=""):
     import jax
     from waveunet_tpu.train import checkpoint as ckpt
     from waveunet_tpu.train.loop import init_state
 
+    if checkpoint == "auto":
+        # Same grammar as `train checkpoint=auto`: newest step dir under
+        # model_base_dir/<experiment_id>; without an experiment_id, the
+        # newest step dir across ALL experiments (mtime order). Unlike the
+        # None case below, a dangling auto is an ERROR — silently scoring
+        # random weights because of a typo'd path would be worse.
+        checkpoint = _resolve_auto_checkpoint(cfg, experiment_id)
+        if checkpoint is None:
+            print(f"error: checkpoint=auto found nothing under "
+                  f"{cfg.model_base_dir!r}"
+                  + (f" for experiment_id={experiment_id!r}"
+                     if experiment_id else ""), file=sys.stderr)
+            sys.exit(2)
+        print(f"checkpoint=auto -> {checkpoint}")
     if checkpoint is None:
         print("WARNING: no checkpoint given; using random initialisation")
         st = init_state(cfg)
@@ -224,6 +239,23 @@ def _load_params(cfg, checkpoint):
     return restored["params"], restored.get("model_state", {})
 
 
+def _resolve_auto_checkpoint(cfg, experiment_id):
+    from waveunet_tpu.train.checkpoint import latest_checkpoint
+
+    if experiment_id:
+        return latest_checkpoint(cfg.model_base_dir, experiment_id)
+    if not os.path.isdir(cfg.model_base_dir):
+        return None
+    best, best_mtime = None, -1.0
+    for exp in os.listdir(cfg.model_base_dir):
+        path = latest_checkpoint(cfg.model_base_dir, exp)
+        if path is not None:
+            mtime = os.path.getmtime(path)
+            if mtime > best_mtime:
+                best, best_mtime = path, mtime
+    return best
+
+
 def cmd_predict(args):
     _setup_jax()
     import jax
@@ -236,7 +268,8 @@ def cmd_predict(args):
     if "input_path" not in opts:
         print("predict requires input_path=<audio file>", file=sys.stderr)
         sys.exit(2)
-    params, model_state = _load_params(cfg, opts.get("checkpoint"))
+    params, model_state = _load_params(cfg, opts.get("checkpoint"),
+                                       opts.get("experiment_id", ""))
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     written = separate_file(cfg, params, opts["input_path"],
                             output_path=opts.get("output_path"), mesh=mesh,
@@ -283,7 +316,8 @@ def cmd_profile(args):
 
     cfg_frags, opts = _split_args(args)
     cfg = config_from_cli(cfg_frags)
-    params, model_state = _load_params(cfg, opts.get("checkpoint"))
+    params, model_state = _load_params(cfg, opts.get("checkpoint"),
+                                       opts.get("experiment_id", ""))
     sep = Separator(cfg, params, model_state=model_state)
     sr = cfg.expected_sr
     seconds = 30.0
@@ -307,7 +341,8 @@ def cmd_warmup(args):
 
     cfg_frags, opts = _split_args(args)
     cfg = config_from_cli(cfg_frags)
-    params, model_state = _load_params(cfg, opts.get("checkpoint"))
+    params, model_state = _load_params(cfg, opts.get("checkpoint"),
+                                       opts.get("experiment_id", ""))
     sep = Separator(cfg, params, model_state=model_state)
     # every (length bucket x pow2 chunk size x H2D mode) program a real song
     # can hit — split-tail batching means tails come in pow2 sizes, not just
@@ -336,7 +371,8 @@ def cmd_stream(args):
     if "input_path" not in opts:
         print("stream requires input_path=<audio file>", file=sys.stderr)
         sys.exit(2)
-    params, model_state = _load_params(cfg, opts.get("checkpoint"))
+    params, model_state = _load_params(cfg, opts.get("checkpoint"),
+                                       opts.get("experiment_id", ""))
     audio, _sr = load(opts["input_path"], sr=cfg.expected_sr,
                       mono=cfg.mono_downmix)
     if not cfg.mono_downmix and audio.shape[1] == 1:
