@@ -154,9 +154,14 @@ def main():
     REPS = len(engine_times)
     engine_sorted = sorted(engine_times)
     serial_sorted = sorted(serial_times)
-    elapsed = engine_sorted[0]
+    # Headline best-of uses a FIXED-size prefix (the guaranteed REPS_MIN
+    # pairs): a run-dependent N would let runs that sample more reps draw a
+    # systematically lower minimum, conflating sampling depth with real
+    # performance change across rounds (round-3 advisor). The extra
+    # time-budgeted reps still sharpen the medians/spread/paired-median.
+    elapsed = min(engine_times[:REPS_MIN])
     rtf = seconds / elapsed
-    serial_rtf = base_seconds / serial_sorted[0]
+    serial_rtf = base_seconds / min(serial_times[:REPS_MIN])
     # pairwise ratio: adjacent-in-time pairs share link conditions, so the
     # median of per-pair speedups is the most drift-resistant single number
     pair_ratios = sorted((seconds / e) / (base_seconds / s)

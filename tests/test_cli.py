@@ -131,6 +131,27 @@ def test_predict_checkpoint_auto_empty_is_error(cli_env, tmp_path):
     assert e.value.code == 2
 
 
+def test_no_checkpoint_is_error_unless_random_init(cli_env, tmp_path, capsys):
+    """predict/evaluate/stream with NO checkpoint must fail fast (scoring
+    random weights masquerades as a catastrophically bad model); random_init=1
+    is the explicit escape hatch."""
+    root = cli_env["root"]
+    mix = str(root / "db" / "test" / "songC" / "mixture.wav")
+    for cmd, extra in (("predict", [f"input_path={mix}"]),
+                       ("evaluate", ["subset=test"]),
+                       ("stream", [f"input_path={mix}"])):
+        with pytest.raises(SystemExit) as e:
+            cli.main([cmd, "baseline"] + cli_env["args"] + extra
+                     + [f"output_path={tmp_path}"])
+        assert e.value.code == 2
+        assert "no checkpoint given" in capsys.readouterr().err
+    # escape hatch: separates (badly) but runs
+    cli.main(["predict", "baseline"] + cli_env["args"]
+             + [f"input_path={mix}", "random_init=1",
+                f"output_path={tmp_path}"])
+    assert "WARNING: no checkpoint" in capsys.readouterr().out
+
+
 def test_evaluate_cli(cli_env, tmp_path):
     cli.main(["evaluate", "baseline"] + cli_env["args"]
              + [f"checkpoint={cli_env['best']}", "subset=test",

@@ -304,7 +304,8 @@ def test_pod_two_process_cli_evaluate(tmp_path):
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
-    args = ["evaluate", "baseline"] + [f"{k}={v}" for k, v in cfg_kw.items()]
+    args = (["evaluate", "baseline", "random_init=1"]
+            + [f"{k}={v}" for k, v in cfg_kw.items()])
     worker = os.path.join(os.path.dirname(__file__), "helpers",
                           "pod_train_worker.py")
     procs = [subprocess.Popen(

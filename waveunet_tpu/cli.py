@@ -39,7 +39,8 @@ def _split_args(args: List[str]) -> Tuple[List[str], Dict[str, str]]:
     cli_keys = {"input_path", "output_path", "checkpoint", "subset",
                 "experiment_id", "max_epochs", "win_s", "max_tracks",
                 "final_eval", "tpu_bss", "chunk_ms", "batch_windows",
-                "max_song_s", "coordinator", "num_processes", "process_id"}
+                "max_song_s", "coordinator", "num_processes", "process_id",
+                "random_init"}
     cfg_frags, opts = [], {}
     for a in args:
         if "=" in a:
@@ -180,7 +181,8 @@ def _dataset_eval(jax, cfg, opts, checkpoint, subset, output_path):
     # (sync_global_processes inside Checkpointer.restore) — a
     # process-0-only call desyncs against the terminal barrier below.
     params, model_state = _load_params(cfg, checkpoint,
-                                       opts.get("experiment_id", ""))
+                                       opts.get("experiment_id", ""),
+                                       allow_random=_random_ok(opts))
     evaluate_musdb(cfg, params, model_state=model_state, mesh=mesh,
                    subset=subset, output_path=output_path,
                    max_tracks=(int(opts["max_tracks"])
@@ -196,6 +198,10 @@ def _dataset_eval(jax, cfg, opts, checkpoint, subset, output_path):
             aggregate_and_print(os.path.join(output_path, subset))
 
 
+def _random_ok(opts):
+    return opts.get("random_init", "0").lower() in ("1", "true")
+
+
 def _parse_tpu_bss(opts):
     """tpu_bss=0|1|f64: off, the fast fp32 device scorer, or the
     full-precision XLA-f64 device scorer (eval/bsseval_tpu64.py)."""
@@ -205,7 +211,17 @@ def _parse_tpu_bss(opts):
     return v in ("1", "true", "fp32")
 
 
-def _load_params(cfg, checkpoint, experiment_id=""):
+def _load_params(cfg, checkpoint, experiment_id="", allow_random=False):
+    """Resolve weights for an inference/eval surface.
+
+    ``checkpoint=None`` is an ERROR unless ``allow_random`` — separating or
+    scoring with random weights masquerades as a catastrophically bad model
+    (the reference always predicts from a concrete checkpoint,
+    `/root/reference/Predict.py:10`). ``random_init=1`` on the CLI is the
+    explicit escape hatch (harness tests, architecture smoke runs); profile/
+    warmup default to it since compiled programs don't depend on weight
+    values.
+    """
     import jax
     from waveunet_tpu.train import checkpoint as ckpt
     from waveunet_tpu.train.loop import init_state
@@ -225,6 +241,11 @@ def _load_params(cfg, checkpoint, experiment_id=""):
             sys.exit(2)
         print(f"checkpoint=auto -> {checkpoint}")
     if checkpoint is None:
+        if not allow_random:
+            print("error: no checkpoint given — pass checkpoint=<path>, "
+                  "checkpoint=auto, or random_init=1 to deliberately run "
+                  "with random weights", file=sys.stderr)
+            sys.exit(2)
         print("WARNING: no checkpoint given; using random initialisation")
         st = init_state(cfg)
         return st.params, st.model_state
@@ -269,7 +290,8 @@ def cmd_predict(args):
         print("predict requires input_path=<audio file>", file=sys.stderr)
         sys.exit(2)
     params, model_state = _load_params(cfg, opts.get("checkpoint"),
-                                       opts.get("experiment_id", ""))
+                                       opts.get("experiment_id", ""),
+                                       allow_random=_random_ok(opts))
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     written = separate_file(cfg, params, opts["input_path"],
                             output_path=opts.get("output_path"), mesh=mesh,
@@ -317,7 +339,8 @@ def cmd_profile(args):
     cfg_frags, opts = _split_args(args)
     cfg = config_from_cli(cfg_frags)
     params, model_state = _load_params(cfg, opts.get("checkpoint"),
-                                       opts.get("experiment_id", ""))
+                                       opts.get("experiment_id", ""),
+                                       allow_random=True)
     sep = Separator(cfg, params, model_state=model_state)
     sr = cfg.expected_sr
     seconds = 30.0
@@ -342,7 +365,8 @@ def cmd_warmup(args):
     cfg_frags, opts = _split_args(args)
     cfg = config_from_cli(cfg_frags)
     params, model_state = _load_params(cfg, opts.get("checkpoint"),
-                                       opts.get("experiment_id", ""))
+                                       opts.get("experiment_id", ""),
+                                       allow_random=True)
     sep = Separator(cfg, params, model_state=model_state)
     # every (length bucket x pow2 chunk size x H2D mode) program a real song
     # can hit — split-tail batching means tails come in pow2 sizes, not just
@@ -372,7 +396,8 @@ def cmd_stream(args):
         print("stream requires input_path=<audio file>", file=sys.stderr)
         sys.exit(2)
     params, model_state = _load_params(cfg, opts.get("checkpoint"),
-                                       opts.get("experiment_id", ""))
+                                       opts.get("experiment_id", ""),
+                                       allow_random=_random_ok(opts))
     audio, _sr = load(opts["input_path"], sr=cfg.expected_sr,
                       mono=cfg.mono_downmix)
     if not cfg.mono_downmix and audio.shape[1] == 1:

@@ -17,8 +17,11 @@ TF's conv1d kernel layout [width, in_ch, out_ch] matches ours exactly
 
 Reading the checkpoint uses ``tf.train.load_checkpoint`` in an **isolated
 subprocess** (importing TF in-process fights the TPU tunnel) that dumps to a
-sidecar ``.npz``; the converter then maps names. The spectrogram-net (U7)
-checkpoints are not in the published zoo and are not yet mapped.
+sidecar ``.npz``; the converter then maps names. Both families convert:
+``load_tf_waveunet`` for the time-domain net and ``load_tf_spectrogram`` for
+the U7/U7a spectrogram net (per-source ``separator_var_<k>`` scopes with
+conv2d/conv2d_transpose/batch_normalization variables,
+`Models/UnetSpectrogramSeparator.py:40-106`).
 """
 
 from __future__ import annotations
