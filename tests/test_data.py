@@ -338,3 +338,110 @@ def test_num_val_songs_knob(tmp_path):
     # a negative request is a config error, not an opaque numpy crash
     with pytest.raises(ValueError, match="num_val_songs"):
         cfg.replace(num_val_songs=-1)
+
+
+def _write_ccmixter_fixture(tmp_path, sr, n_tracks=2, seconds=2.0,
+                            write_audio=True):
+    """Schema-true CCMixter manifest (mirrors `/root/reference/CCMixter.xml`:
+    database > trackList > track > instrumentList > instrument with
+    relativeFilepath/instrumentName fields) + the referenced WAVs. One extra
+    track is missing its Voice stem and must be filtered out by the ingest."""
+    db = tmp_path / "ccmix"
+    tracks_xml = []
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+
+    def inst(rel, name):
+        return (f"<instrument><relativeFilepath>{rel}</relativeFilepath>"
+                f"<audioFormat>wav</audioFormat><sampleRate>{sr}</sampleRate>"
+                f"<length>{seconds}</length><numChannels>1</numChannels>"
+                f"<instrumentChannel>3</instrumentChannel>"
+                f"<instrumentName>{name}</instrumentName>"
+                f"<hasEffects>true</hasEffects>"
+                f"<multipleVoices>true</multipleVoices></instrument>")
+
+    for i in range(n_tracks):
+        d = db / f"artist_{i}"
+        insts = []
+        for stem, name, f0 in (("source-02", "Voice", 440.0 + 10 * i),
+                               ("source-01", "Instrumental", 220.0 + 10 * i),
+                               ("mix", "Mix", 0.0)):
+            rel = f"artist_{i}/{stem}.wav"
+            insts.append(inst(rel, name))
+            if write_audio:
+                d.mkdir(parents=True, exist_ok=True)
+                if name == "Mix":
+                    v = 0.3 * (np.sin(2 * np.pi * (440.0 + 10 * i) * t)
+                               + np.sin(2 * np.pi * (220.0 + 10 * i) * t))
+                else:
+                    v = 0.3 * np.sin(2 * np.pi * f0 * t)
+                write_wav(str(db / rel), v[:, None].astype(np.float32), sr)
+        tracks_xml.append("<track><title>t%d</title><artist>a%d</artist>"
+                          "<performer>a%d</performer><instrumentList>%s"
+                          "</instrumentList></track>"
+                          % (i, i, i, "".join(insts)))
+    # incomplete track: Mix + Instrumental only -> must be skipped
+    tracks_xml.append("<track><title>bad</title><instrumentList>"
+                      + inst("bad/mix.wav", "Mix")
+                      + inst("bad/source-01.wav", "Instrumental")
+                      + "</instrumentList></track>")
+    xml = (f"<database><databaseName>CCMixter</databaseName>"
+           f"<databaseFolderPath>{db}</databaseFolderPath>"
+           f"<trackList>{''.join(tracks_xml)}</trackList></database>")
+    xml_path = tmp_path / "CCMixter.xml"
+    xml_path.write_text(xml)
+    return str(xml_path), str(db)
+
+
+def test_get_ccmixter_parses_and_filters(tmp_path):
+    """Path assembly (databaseFolderPath + relativeFilepath) and the
+    Voice/Mix/Instrumental completeness filter (`Datasets.py:279-295`)."""
+    from waveunet_tpu.data.ingest import get_ccmixter
+
+    xml_path, db = _write_ccmixter_fixture(tmp_path, sr=8192,
+                                           write_audio=False)
+    samples = get_ccmixter(xml_path)
+    assert len(samples) == 2  # the Voice-less track is dropped
+    for i, s in enumerate(samples):
+        assert set(s) == {"mix", "accompaniment", "vocals"}
+        assert s["vocals"] == os.path.join(db, f"artist_{i}/source-02.wav")
+        assert s["accompaniment"] == os.path.join(
+            db, f"artist_{i}/source-01.wav")
+        assert s["mix"] == os.path.join(db, f"artist_{i}/mix.wav")
+
+
+def test_prepare_dataset_voice_appends_ccmixter(tmp_path):
+    """The voice task's cache-miss branch appends the CCMixter tracks to the
+    TRAIN partition only (`Datasets.py:151-155` semantics)."""
+    from waveunet_tpu.ops import shapes
+
+    sr = 8192
+    xml_path, _ = _write_ccmixter_fixture(tmp_path, sr=sr)
+    cfg = get_config("baseline", num_layers=3, num_frames=1024,
+                     expected_sr=sr, num_val_songs=1,
+                     musdb_path=str(tmp_path / "db"),
+                     data_path=str(tmp_path / "c"),
+                     ccmixter_xml=xml_path)
+    assert cfg.task == "voice"
+    for part, names in (("train", ("a", "b")), ("test", ("t",))):
+        for name in names:
+            d = tmp_path / "db" / part / name
+            d.mkdir(parents=True)
+            n = sr * 2
+            t = np.arange(n) / sr
+            v = (0.3 * np.sin(2 * np.pi * 440 * t))[:, None].astype(np.float32)
+            a = (0.3 * np.sin(2 * np.pi * 220 * t))[:, None].astype(np.float32)
+            write_wav(str(d / "vocals.wav"), v, sr)
+            write_wav(str(d / "accompaniment.wav"), a, sr)
+            write_wav(str(d / "mixture.wav"), v + a, sr)
+    cache.prepare_dataset(cfg, shapes.context_pad(cfg, cfg.num_frames))
+    # 2 musdb train - 1 val + 2 ccmixter
+    assert len(cache.list_songs(cfg, "train")) == 3
+    assert len(cache.list_songs(cfg, "valid")) == 1
+    assert len(cache.list_songs(cfg, "test")) == 1
+    # the ccmixter audio really flows: every cached train song decodes with
+    # all voice-task keys present
+    for p in cache.list_songs(cfg, "train"):
+        tracks = cache.load_song(p)
+        assert {"mix", "vocals", "accompaniment"} <= set(tracks)
+        assert tracks["mix"].shape[0] > 0
