@@ -191,21 +191,36 @@ class StreamingSeparator:
         return self._collect(outs)
 
     def _drain_into(self, outs, target):
+        # Two phases so device work and D2H overlap: every drain program is
+        # DISPATCHED first (jax dispatch is async; each drain's new ring
+        # buffer feeds the next dispatch device-side) with copy_to_host_async
+        # started on its outputs, and only then are results materialised. The
+        # former per-drain synchronous np.asarray serialised
+        # dispatch -> transfer -> dispatch, leaving the device idle during
+        # every D2H (round-3 review) — the offline engine already pipelines
+        # this way (engine.py slab pipeline).
+        planned = self._emitted  # output samples covered by dispatched drains
+        pending = []
         while True:
-            if target is not None and self._emitted >= target:
-                return
+            if target is not None and planned >= target:
+                break
             avail = 0
             if self._valid >= self.in_len:
                 avail = (self._valid - self.in_len) // self.out_len + 1
             if target is not None:
-                need = -(-(target - self._emitted) // self.out_len)
+                need = -(-(target - planned) // self.out_len)
                 avail = min(avail, need)
             if avail <= 0:
-                return
+                break
             k = min(avail, self.batch)
             k = 1 << (k.bit_length() - 1)  # pow2 bucket <= k available
             res, self._buf = self._drain_k(self.params, self._buf, k=k)
             self._valid -= k * self.out_len
+            planned += k * self.out_len
+            for s in self.cfg.source_names:
+                res[s].copy_to_host_async()
+            pending.append((k, res))
+        for k, res in pending:
             # one D2H per source for the whole drained batch
             host = {s: np.asarray(res[s]) for s in self.cfg.source_names}
             for i in range(k):
