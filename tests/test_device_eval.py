@@ -179,3 +179,57 @@ def test_optimise_device_validation_end_to_end(tmp_path):
                                     max_epochs_per_round=1)
     assert np.isfinite(test_loss)
     assert best_path
+
+
+def test_eval_bank_host_sharded_loss_sums(tmp_path):
+    """Pod validation path: per-host song shards' (sum, count) pairs compose
+    to the full-bank mean, and an over-sharded (empty) host shard contributes
+    weight 0 instead of raising."""
+    cfg = _cfg(tmp_path, batch_size=1)
+    _make_cache(tmp_path, cfg, n_songs=3, subtype="FLOAT")
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+
+    full = EvalBank(cfg, "valid", in_len, out_len, dtype="float32")
+    want = full.evaluate(params, {})
+
+    sums, counts, shard_windows = 0.0, 0, 0
+    for h in range(2):
+        b = EvalBank(cfg, "valid", in_len, out_len, dtype="float32",
+                     host_id=h, num_hosts=2)
+        s, c = b.loss_sums(params, {})
+        sums += s
+        counts += c
+        shard_windows += b.n_windows
+    # the shards partition the window set exactly (batch=1: no remainder)
+    assert shard_windows == full.n_windows
+    np.testing.assert_allclose(sums / counts, want, rtol=1e-6)
+
+    # single-process pod_weighted_mean reduces to sum/count
+    from waveunet_tpu.parallel.distributed import pod_weighted_mean
+    np.testing.assert_allclose(pod_weighted_mean(sums, counts),
+                               sums / counts, rtol=1e-6)
+
+    # more hosts than eval songs: legal empty shard, weight 0
+    empty = EvalBank(cfg, "valid", in_len, out_len, dtype="float32",
+                     host_id=5, num_hosts=6)
+    assert empty.loss_sums(params, {}) == (0.0, 0)
+    assert empty.n_windows == 0 and empty.nbytes() == 0
+    assert empty.evaluate(params, {}) == float("inf")
+
+
+def test_pod_host_evaluate_single_process(tmp_path):
+    """The host-pipeline pod fallback on one process: (sum, count) over this
+    host's shard equals the plain host evaluate, and pod_weighted_mean turns
+    it into the same mean."""
+    from waveunet_tpu.parallel.distributed import pod_weighted_mean
+    from waveunet_tpu.train.loop import _pod_host_evaluate
+
+    cfg = _cfg(tmp_path, batch_size=2)
+    _make_cache(tmp_path, cfg, subtype="FLOAT")
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    s, c = _pod_host_evaluate(cfg, params, {}, "valid", in_len, out_len)
+    assert c > 0
+    want = _host_loss(cfg, params, in_len, out_len)
+    np.testing.assert_allclose(pod_weighted_mean(s, c), want, rtol=1e-6)

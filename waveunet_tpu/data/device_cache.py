@@ -187,7 +187,10 @@ class EvalBank:
     ``dtype`` "int16" (default) quantises like the training bank — a <=1 LSB
     round-trip that is EXACT for PCM16-derived samples with |x| < 0.5 —
     "float32" doubles HBM for bit-identical host parity. A full-44KHz 25-song
-    MUSDB validation set is ~3.2 GB int16 (sources + mix).
+    MUSDB validation set is ~3.2 GB int16 (sources + mix); at pod scale pass
+    (host_id, num_hosts) and each host holds only 1/num_hosts of it,
+    combining per-host :meth:`loss_sums` with
+    ``parallel.distributed.pod_weighted_mean``.
 
     Why this exists: per-epoch validation through the host pipeline re-streams
     the whole valid partition over the host link every epoch — at full_44KHz
@@ -198,7 +201,8 @@ class EvalBank:
 
     def __init__(self, cfg: Config, partition: str, input_len: int,
                  output_len: int, batch_size: Optional[int] = None,
-                 max_bytes: Optional[int] = None, dtype: str = "int16"):
+                 max_bytes: Optional[int] = None, dtype: str = "int16",
+                 host_id: int = 0, num_hosts: int = 1):
         from waveunet_tpu.data import sampler
 
         assert dtype in ("int16", "float32")
@@ -211,6 +215,13 @@ class EvalBank:
         paths = cache.list_songs(cfg, partition)
         if not paths:
             raise FileNotFoundError(f"no cached songs for {partition!r}")
+        # Pod-scale per-host song sharding (same round-robin as DeviceBank):
+        # each host uploads only its disjoint song subset — 1/num_hosts of
+        # the eval set per HBM — and the hosts combine their
+        # :meth:`loss_sums` via ``parallel.distributed.pod_weighted_mean``.
+        # An EMPTY shard is legal in a pod (more hosts than eval songs): it
+        # simply contributes weight 0; single-host keeps the hard errors.
+        paths = paths[host_id::num_hosts]
         keys = list(cfg.source_names) + ["mix"]
         chunks: List[np.ndarray] = []
         positions: List[np.ndarray] = []
@@ -232,6 +243,12 @@ class EvalBank:
             positions.append(pos + offset)
             offset += length
         if not chunks:
+            if num_hosts > 1:
+                self._bank = None
+                self._positions = np.zeros((0,), np.int32)
+                self.n_windows = 0
+                self.set_batch(batch_size or cfg.batch_size)
+                return
             raise ValueError("no song long enough for the input window")
         bank = np.concatenate(chunks, axis=1)
         if max_bytes is not None and bank.nbytes > max_bytes:
@@ -254,6 +271,8 @@ class EvalBank:
         self._sweep_mesh = None
 
     def nbytes(self) -> int:
+        if self._bank is None:
+            return 0
         return int(self._bank.size) * self._bank.dtype.itemsize
 
     def _build_sweep(self, mesh, m: int):
@@ -314,14 +333,7 @@ class EvalBank:
             i0 += chunk
         return plan
 
-    def evaluate(self, params, model_state, mesh=None) -> float:
-        """Running-mean loss over the deterministic pass — the exact
-        accumulation of ``train.loop.evaluate`` (`Test.py:73-79`), with the
-        sweep as a handful of scanned device programs and only the
-        [n_batches] loss vector fetched."""
-        if self.n_batches == 0:
-            print("WARNING: evaluation produced no batches; returning inf")
-            return float("inf")
+    def _batch_losses(self, params, model_state, mesh) -> np.ndarray:
         if self._sweep is None or self._sweep_mesh is not mesh:
             self._sweep = {}
             self._sweep_mesh = mesh
@@ -331,9 +343,30 @@ class EvalBank:
                 self._sweep[m] = self._build_sweep(mesh, m)
             parts.append(self._sweep[m](params, model_state, self._bank,
                                         self._pos_dev, i0))
-        losses = np.concatenate([np.asarray(p) for p in parts])
+        return np.concatenate([np.asarray(p) for p in parts])
+
+    def evaluate(self, params, model_state, mesh=None) -> float:
+        """Running-mean loss over the deterministic pass — the exact
+        accumulation of ``train.loop.evaluate`` (`Test.py:73-79`), with the
+        sweep as a handful of scanned device programs and only the
+        [n_batches] loss vector fetched."""
+        if self.n_batches == 0:
+            print("WARNING: evaluation produced no batches; returning inf")
+            return float("inf")
+        losses = self._batch_losses(params, model_state, mesh)
         total, n = 0.0, 0
         for loss in losses:
             n += 1
             total += (float(loss) - total) / n
         return total
+
+    def loss_sums(self, params, model_state, mesh=None):
+        """(sum of per-batch losses, batch count): this host shard's
+        contribution to a pod-wide validation mean. Hosts combine with
+        ``parallel.distributed.pod_weighted_mean`` — a fixed-shape host-level
+        allgather, so shards of ANY size (including empty) compose without
+        the equal-batch-count deadlock constraint of global-mesh eval."""
+        if self.n_batches == 0:
+            return 0.0, 0
+        losses = self._batch_losses(params, model_state, mesh)
+        return float(np.sum(losses, dtype=np.float64)), int(losses.shape[0])

@@ -84,6 +84,56 @@ def make_pod_bank(cfg: Config, partition: str, input_len: int,
                       host_id=jax.process_index(), num_hosts=n_proc)
 
 
+def make_pod_eval_bank(cfg: Config, partition: str, input_len: int,
+                       output_len: int, batch_size: Optional[int] = None):
+    """Per-host device-resident eval bank: this host's disjoint song subset
+    (1/num_hosts of the partition per HBM, mirroring :func:`make_pod_bank`);
+    combine each host's ``loss_sums`` with :func:`pod_weighted_mean`."""
+    from waveunet_tpu.data.device_cache import EvalBank
+
+    return EvalBank(cfg, partition, input_len, output_len,
+                    batch_size=batch_size or cfg.batch_size,
+                    max_bytes=cfg.device_data_max_bytes,
+                    host_id=jax.process_index(),
+                    num_hosts=jax.process_count())
+
+
+def replicated_local_view(tree):
+    """Host-local single-device view of fully-replicated global arrays.
+
+    Pod validation runs on each host's LOCAL devices only (the data is
+    host-sharded; a global-mesh eval would impose the equal-batch-count
+    deadlock constraint) — but the train step's params are global arrays a
+    local jit cannot consume. Every process holds a full replica, so the
+    local view is a zero-copy handle to this host's shard 0."""
+    def f(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x.addressable_data(0)
+        return x
+    return jax.tree.map(f, tree)
+
+
+def pod_weighted_mean(local_sum: float, local_count: int) -> float:
+    """Global mean of per-batch losses from per-host (sum, count) pairs.
+
+    A FIXED-SHAPE host-level allgather: every process contributes exactly one
+    [2] vector per call, so hosts with differently-sized (even empty) eval
+    shards compose safely — the cross-host coupling that previously forced
+    every pod process to stream the FULL partition (equal batch counts or
+    collective deadlock) is gone. All hosts return the identical value, so
+    early-stop decisions stay SPMD-consistent."""
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.process_allgather(
+        np.asarray([local_sum, local_count], np.float32))
+    arr = np.asarray(arr, np.float64).reshape(-1, 2)
+    total, count = arr[:, 0].sum(), arr[:, 1].sum()
+    if count == 0:
+        print("WARNING: evaluation produced no batches; returning inf")
+        return float("inf")
+    return float(total / count)
+
+
 def global_batch_from_local(mesh: jax.sharding.Mesh, local_batch: dict):
     """Assemble the globally-sharded batch arrays from this host's shard.
 

@@ -168,24 +168,33 @@ def evaluate(cfg: Config, params, model_state, eval_step,
     return total
 
 
-def _pod_host_evaluate(cfg: Config, params, model_state, eval_step, mesh,
-                       partition: str, in_len: int, out_len: int) -> float:
-    """Pod-safe host-fed eval fallback: EVERY process streams the FULL
-    partition (identical batch count everywhere — per-host disjoint subsets
-    would drop different remainders and deadlock the collective when one host
-    exhausts first) and contributes only its row slice of each batch to the
-    global array."""
+def _pod_host_evaluate(cfg: Config, params, model_state, partition: str,
+                       in_len: int, out_len: int):
+    """Host-sharded host-fed eval fallback: this process streams ONLY its
+    disjoint song shard and scores it with a LOCAL jit — no global-mesh
+    collectives, so shards of any size (including empty) compose without the
+    equal-batch-count deadlock constraint that previously forced every pod
+    process to stream the FULL partition. Returns this shard's (loss sum,
+    batch count) for ``parallel.distributed.pod_weighted_mean``."""
+    import jax as _jax
+
     from waveunet_tpu.parallel import distributed as D
 
-    pipe = BatchPipeline(cfg, partition, in_len, out_len, seed=cfg.seed)
-    sl = D.local_batch_slice(pipe.batch)
-
-    def it():
-        for b in pipe.eval_batches():
-            yield D.global_batch_from_local(
-                mesh, {k: v[sl] for k, v in b.items()})
-
-    return evaluate(cfg, params, model_state, eval_step, it())
+    params = D.replicated_local_view(params)
+    model_state = D.replicated_local_view(model_state)
+    try:
+        pipe = D.make_pod_pipeline(cfg, partition, in_len, out_len,
+                                   seed=cfg.seed)
+    except ValueError as e:  # empty host shard: weight-0 contribution
+        print(f"[pod {_jax.process_index()}] empty {partition} shard ({e})")
+        return 0.0, 0
+    eval_step = make_eval_step(cfg)
+    total, n = 0.0, 0
+    for batch in pipe.eval_batches():
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        total += float(eval_step(params, model_state, batch))
+        n += 1
+    return total, n
 
 
 def optimise(cfg: Config, experiment_id: Optional[str] = None,
@@ -244,6 +253,15 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
     bank = None
     valid_bank = None
     valid_bank_tried = False
+    # Pod validation runs on LOCAL devices over host-sharded data (see
+    # _pod_host_evaluate / EvalBank host sharding); use a local mesh when
+    # this host has several chips and the batch splits evenly.
+    local_eval_mesh = None
+    if pod:
+        local = jax.local_devices()
+        if len(local) > 1 and cfg.batch_size % len(local) == 0:
+            from waveunet_tpu.parallel.mesh import make_mesh
+            local_eval_mesh = make_mesh(devices=local)
     for rnd, rcfg in enumerate(round_cfgs):
         if rnd == 1:
             print("Finished first round of training, entering fine-tuning stage")
@@ -314,9 +332,24 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
         # Zero-host-byte validation: the device-resident valid windows are
         # built once and re-chunked across rounds (the round-2 batch doubling
         # only changes the drop-remainder boundary, not the bank contents).
+        # Pod mode builds a HOST-SHARDED eval bank (1/num_hosts of the valid
+        # set per HBM) and combines per-host loss sums collectively.
         if not valid_bank_tried:
-            valid_bank = make_eval_source(rcfg, "valid", in_len, out_len,
-                                          batch_size=rcfg.batch_size)
+            if pod:
+                if rcfg.device_data:
+                    try:
+                        valid_bank = D.make_pod_eval_bank(
+                            rcfg, "valid", in_len, out_len,
+                            batch_size=rcfg.batch_size)
+                        print(f"[pod {jax.process_index()}] per-host valid "
+                              f"bank: {valid_bank.n_windows} windows, "
+                              f"{valid_bank.nbytes() / 1e6:.0f} MB HBM")
+                    except (FileNotFoundError, ValueError) as e:
+                        print(f"pod device eval bank unavailable ({e}); "
+                              f"using host pipeline shard")
+            else:
+                valid_bank = make_eval_source(rcfg, "valid", in_len, out_len,
+                                              batch_size=rcfg.batch_size)
             valid_bank_tried = True
         elif valid_bank is not None:
             valid_bank.set_batch(rcfg.batch_size)
@@ -347,13 +380,20 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
                                        cfg.keep_checkpoints,
                                        protect=(best_path, path))
             t_ckpt = time.time()
-            if valid_bank is not None:
+            if pod:
+                if valid_bank is not None:
+                    s, c = valid_bank.loss_sums(
+                        D.replicated_local_view(state.params),
+                        D.replicated_local_view(state.model_state),
+                        mesh=local_eval_mesh)
+                else:
+                    s, c = _pod_host_evaluate(rcfg, state.params,
+                                              state.model_state, "valid",
+                                              in_len, out_len)
+                curr = D.pod_weighted_mean(s, c)
+            elif valid_bank is not None:
                 curr = valid_bank.evaluate(state.params, state.model_state,
                                            mesh=mesh)
-            elif pod:
-                curr = _pod_host_evaluate(rcfg, state.params,
-                                          state.model_state, eval_step, mesh,
-                                          "valid", in_len, out_len)
             else:
                 valid_pipe = BatchPipeline(rcfg, "valid", in_len, out_len,
                                            seed=rcfg.seed)
@@ -398,18 +438,34 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
         params, model_state = restored["params"], restored["model_state"]
     else:
         params, model_state = state.params, state.model_state
-    eval_step = make_eval_step(cfg, mesh=mesh)
-    test_bank = make_eval_source(cfg, "test", in_len, out_len,
-                                 batch_size=cfg.batch_size)
-    if test_bank is not None:
-        test_loss = test_bank.evaluate(params, model_state, mesh=mesh)
-    elif pod:
-        test_loss = _pod_host_evaluate(cfg, params, model_state, eval_step,
-                                       mesh, "test", in_len, out_len)
+    if pod:
+        test_bank = None
+        if cfg.device_data:
+            try:
+                test_bank = D.make_pod_eval_bank(cfg, "test", in_len, out_len,
+                                                 batch_size=cfg.batch_size)
+            except (FileNotFoundError, ValueError) as e:
+                print(f"pod device test bank unavailable ({e}); "
+                      f"using host pipeline shard")
+        if test_bank is not None:
+            s, c = test_bank.loss_sums(D.replicated_local_view(params),
+                                       D.replicated_local_view(model_state),
+                                       mesh=local_eval_mesh)
+        else:
+            s, c = _pod_host_evaluate(cfg, params, model_state, "test",
+                                      in_len, out_len)
+        test_loss = D.pod_weighted_mean(s, c)
     else:
-        test_pipe = BatchPipeline(cfg, "test", in_len, out_len, seed=cfg.seed)
-        test_loss = evaluate(cfg, params, model_state, eval_step,
-                             test_pipe.eval_batches())
+        eval_step = make_eval_step(cfg, mesh=mesh)
+        test_bank = make_eval_source(cfg, "test", in_len, out_len,
+                                     batch_size=cfg.batch_size)
+        if test_bank is not None:
+            test_loss = test_bank.evaluate(params, model_state, mesh=mesh)
+        else:
+            test_pipe = BatchPipeline(cfg, "test", in_len, out_len,
+                                      seed=cfg.seed)
+            test_loss = evaluate(cfg, params, model_state, eval_step,
+                                 test_pipe.eval_batches())
     if logger is not None:
         logger.log(state.step, test_loss=test_loss)
         logger.close()
