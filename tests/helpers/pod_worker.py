@@ -69,6 +69,45 @@ def main():
         np.abs(np.asarray(v)).sum()
         for v in jax.tree_util.tree_leaves(p2)))
 
+    # Device-SHARDED bank + whole-epoch lax.scan across processes: the pod
+    # form of the zero-dispatch scanned epoch. Every process builds the same
+    # synthetic song list; construction round-robins songs across the global
+    # mesh (each process uploads only its local devices' shards), then a
+    # 3-step scanned epoch must produce the SAME losses as the eager
+    # sample+step loop over the same shard_map sampler — and identical
+    # values on every host (all outputs are replicated collectives).
+    from waveunet_tpu.data.device_cache import ShardedBank
+    from waveunet_tpu.train.step import make_scanned_epoch
+
+    # (the earlier train step donated `params`: re-init a fresh tree)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    tracks = []
+    for i in range(jax.device_count()):
+        n = in_len + 300 + 41 * i
+        t = {s: (0.2 * rng.standard_normal((n, cfg.num_channels))
+                 ).astype(np.float32) for s in cfg.source_names}
+        t["mix"] = np.zeros((n, cfg.num_channels), np.float32)
+        tracks.append(t)
+    sbank = ShardedBank.from_tracks(cfg, in_len, out_len, mesh, tracks,
+                                    batch_size=cfg.batch_size)
+    kd, ks = jax.random.PRNGKey(5), jax.random.PRNGKey(6)
+    copy = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x + 0, t)
+    eager_p, eager_o = copy(params), init_opt(copy(params))
+    eager_losses = []
+    for i in range(3):
+        b = sbank._sample(*sbank.arrays, jax.random.fold_in(kd, i))
+        eager_p, _, eager_o, el = step(eager_p, {}, eager_o, b,
+                                       jax.random.fold_in(ks, i))
+        eager_losses.append(float(el))
+    epoch_fn = make_scanned_epoch(cfg, 1e-4, 3, sbank.sample_raw, mesh=mesh,
+                                  bank_shardings=sbank.shardings,
+                                  presharded_batch=True)
+    _, _, _, scanned = epoch_fn(copy(params), {}, init_opt(copy(params)),
+                                *sbank.arrays, kd, ks, 0)
+    scanned_losses = [float(x) for x in np.asarray(scanned)]
+
     print(json.dumps({
         "pid": pid,
         "procs": jax.process_count(),
@@ -79,6 +118,9 @@ def main():
         "loss": loss,
         "train_loss": float(train_loss),
         "param_digest": param_digest,
+        "sharded_local_songs": sbank.local_songs,
+        "eager_losses": eager_losses,
+        "scanned_losses": scanned_losses,
     }), flush=True)
     jax.distributed.shutdown()
 

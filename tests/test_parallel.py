@@ -156,6 +156,15 @@ def test_pod_two_processes(tmp_path):
     assert by_pid[0]["train_loss"] == by_pid[1]["train_loss"]
     assert np.isfinite(by_pid[0]["train_loss"])
     assert by_pid[0]["param_digest"] == by_pid[1]["param_digest"]
+    # the device-SHARDED bank round-robins 4 songs over the 4 global devices
+    # (2 per process), and the pod scanned epoch reproduces the eager
+    # sample+step loop's losses, identically on every host
+    assert sorted(r["sharded_local_songs"] for r in results) == [2, 2]
+    for r in results:
+        np.testing.assert_allclose(r["scanned_losses"], r["eager_losses"],
+                                   rtol=1e-5)
+        assert all(np.isfinite(v) for v in r["scanned_losses"])
+    assert by_pid[0]["scanned_losses"] == by_pid[1]["scanned_losses"]
 
     # single-process oracle: concat the two host shards, eval on one device
     in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
@@ -232,9 +241,11 @@ def test_pod_two_process_cli_train(tmp_path):
         assert p.returncode == 0, (err.decode()[-3000:], out.decode()[-1000:])
         outs.append(out.decode())
 
-    # per-host device banks over DISJOINT song subsets (the cache has 4
-    # train songs; round-robin split 2/2, summing to the full partition)
-    banks = [re.search(r"per-host bank: (\d+) songs", o) for o in outs]
+    # the device-SHARDED bank engages (scan_epoch default): the cache's 4
+    # train songs round-robin over the 4 global devices — 2 per process's
+    # local HBM, summing to the full partition — and the whole-epoch
+    # lax.scan runs across processes (no eager per-step pod loop)
+    banks = [re.search(r"device-sharded bank: (\d+) songs", o) for o in outs]
     assert all(banks), outs
     assert sorted(int(m.group(1)) for m in banks) == [2, 2]
 
@@ -326,6 +337,125 @@ def test_pod_two_process_cli_evaluate(tmp_path):
     # aggregate table printed by process 0 only, over BOTH shards
     assert ": SDR median" in outs[0], outs[0][-1500:]
     assert ": SDR median" not in outs[1], outs[1][-1500:]
+
+
+def _synthetic_tracks(cfg, n_songs, min_len, rng, constant=None):
+    """n_songs track dicts; ``constant`` makes source j of song i the flat
+    value (i+1)*(j+1)/100 (provenance-checkable after int16 round-trip)."""
+    tracks = []
+    for i in range(n_songs):
+        n = min_len + 300 + 41 * i
+        t = {}
+        for j, s in enumerate(cfg.source_names):
+            if constant:
+                t[s] = np.full((n, cfg.num_channels),
+                               (i + 1) * (j + 1) / 100, np.float32)
+            else:
+                t[s] = (0.2 * rng.standard_normal((n, cfg.num_channels))
+                        ).astype(np.float32)
+        t["mix"] = np.zeros((n, cfg.num_channels), np.float32)
+        tracks.append(t)
+    return tracks
+
+
+def test_sharded_bank_scanned_matches_eager(rng):
+    """The pod scanned epoch (shard_map sampler inside the whole-epoch
+    lax.scan over the device-sharded bank) reproduces the eager
+    sample+step loop exactly — per-chunk dispatches bit-match the
+    monolithic scan, and donated buffers thread through."""
+    _require_8()
+    from waveunet_tpu.data.device_cache import ShardedBank
+    from waveunet_tpu.models.waveunet import init_waveunet
+    from waveunet_tpu.train.step import make_scanned_epoch, make_train_step
+
+    cfg = get_config("baseline", num_layers=2, num_frames=256,
+                     num_initial_filters=4, batch_size=8, epoch_it=4)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    mesh = make_mesh()
+    bank = ShardedBank.from_tracks(
+        cfg, in_len, out_len, mesh,
+        _synthetic_tracks(cfg, 8, in_len, rng), batch_size=cfg.batch_size)
+    assert bank.local_songs == 8 and bank.n_local_devices == 8
+
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    init_opt, step8 = make_train_step(cfg, 1e-4, mesh=mesh)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+    kd, ks = jax.random.PRNGKey(5), jax.random.PRNGKey(6)
+
+    p, o = copy(params), init_opt(copy(params))
+    eager_losses = []
+    it = bank.batches(kd)
+    for i in range(cfg.epoch_it):
+        p, _, o, l = step8(p, {}, o, next(it), jax.random.fold_in(ks, i))
+        eager_losses.append(float(l))
+
+    efn = make_scanned_epoch(cfg, 1e-4, cfg.epoch_it, bank.sample_raw,
+                             mesh=mesh, bank_shardings=bank.shardings,
+                             presharded_batch=True)
+    p2, _, _, ls = efn(copy(params), {}, init_opt(copy(params)),
+                       *bank.arrays, kd, ks, 0)
+    np.testing.assert_allclose(np.asarray(ls), eager_losses, rtol=1e-5)
+    for k in p:
+        np.testing.assert_allclose(np.asarray(p2[k]["kernel"]),
+                                   np.asarray(p[k]["kernel"]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+    # chunked dispatches are BIT-exact vs the monolithic scan (absolute-index
+    # key folds + sequential carry)
+    efn2 = make_scanned_epoch(cfg, 1e-4, cfg.epoch_it, bank.sample_raw,
+                              mesh=mesh, chunk=3,
+                              bank_shardings=bank.shardings,
+                              presharded_batch=True)
+    _, _, _, ls2 = efn2(copy(params), {}, init_opt(copy(params)),
+                        *bank.arrays, kd, ks, 0)
+    np.testing.assert_array_equal(np.asarray(ls2), np.asarray(ls))
+
+
+def test_sharded_bank_device_song_provenance(rng):
+    """Each device's rows of the global batch come ONLY from its round-robin
+    song shard, and the zero padding (to the global max shard size) is
+    never sampled."""
+    _require_8()
+    from waveunet_tpu.data.device_cache import ShardedBank
+
+    cfg = get_config("baseline", num_layers=2, num_frames=256,
+                     num_initial_filters=4, batch_size=16,
+                     augmentation=False)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    mesh = make_mesh()
+    n_songs = 12  # uneven: devices 0-3 get 2 songs, 4-7 get 1 (+ padding)
+    tracks = _synthetic_tracks(cfg, n_songs, in_len, rng, constant=True)
+    bank = ShardedBank.from_tracks(cfg, in_len, out_len, mesh, tracks,
+                                   batch_size=cfg.batch_size)
+    b_local = cfg.batch_size // 8
+    src0 = cfg.source_names[0]
+    for trial in range(4):
+        batch = bank._sample(*bank.arrays,
+                             jax.random.fold_in(jax.random.PRNGKey(3), trial))
+        vals = np.asarray(batch[src0])  # [B, out_len, C], flat per row
+        for d in range(8):
+            allowed = np.asarray([(i + 1) / 100
+                                  for i in range(d, n_songs, 8)])
+            for r in range(d * b_local, (d + 1) * b_local):
+                row = np.unique(vals[r])
+                assert row.size == 1, "window crossed a song boundary/padding"
+                assert np.isclose(row[0], allowed, atol=1e-4).any(), \
+                    (d, r, row[0], allowed)
+
+
+def test_sharded_bank_too_few_songs_raises(rng):
+    """Fewer usable songs than devices is a consistent ValueError (the
+    driver falls back to the per-host eager bank)."""
+    _require_8()
+    from waveunet_tpu.data.device_cache import ShardedBank
+
+    cfg = get_config("baseline", num_layers=2, num_frames=256,
+                     num_initial_filters=4, batch_size=8)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    with pytest.raises(ValueError, match="song per device"):
+        ShardedBank.from_tracks(cfg, in_len, out_len, make_mesh(),
+                                _synthetic_tracks(cfg, 5, in_len, rng),
+                                batch_size=8)
 
 
 def test_scanned_epoch_on_mesh_matches_single_device(tmp_path):

@@ -84,6 +84,23 @@ def make_pod_bank(cfg: Config, partition: str, input_len: int,
                       host_id=jax.process_index(), num_hosts=n_proc)
 
 
+def make_sharded_bank(cfg: Config, partition: str, input_len: int,
+                      output_len: int, mesh: jax.sharding.Mesh,
+                      batch_size: Optional[int] = None):
+    """Device-sharded training bank over the GLOBAL mesh: songs round-robin
+    across every device (1/n_devices of the dataset per chip), sampling as a
+    shard_map program composable inside the scanned epoch — pod training's
+    zero-per-step-dispatch data source (see
+    :class:`~waveunet_tpu.data.device_cache.ShardedBank`). Collective
+    construction: call on every process. Raises ValueError when the mesh has
+    more devices than usable songs or the batch does not divide."""
+    from waveunet_tpu.data.device_cache import ShardedBank
+
+    return ShardedBank(cfg, partition, input_len, output_len, mesh,
+                       batch_size=batch_size or cfg.batch_size,
+                       max_bytes=cfg.device_data_max_bytes)
+
+
 def make_pod_eval_bank(cfg: Config, partition: str, input_len: int,
                        output_len: int, batch_size: Optional[int] = None):
     """Per-host device-resident eval bank: this host's disjoint song subset

@@ -129,10 +129,12 @@ def train_one_epoch_scanned(cfg: Config, state: TrainState, epoch_fn, bank,
     base_rng = base_rng if base_rng is not None else jax.random.PRNGKey(
         cfg.seed)
     t0 = time.time()
-    bank_arr, starts, valids = bank.arrays
+    # bank.arrays is (bank, starts, valids) for the single-device DeviceBank,
+    # (bank, starts, valids, n_songs) device-sharded for the pod ShardedBank;
+    # the epoch_fn was built against the matching sampler either way.
     params, mstate, opt_state, losses = epoch_fn(
         state.params, state.model_state, state.opt_state,
-        bank_arr, starts, valids, data_key, base_rng, state.step)
+        *bank.arrays, data_key, base_rng, state.step)
     losses = np.asarray(losses)
     dt = time.time() - t0
     if logger is not None:
@@ -279,33 +281,57 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
         # opt_state threads straight into the new step_fn.
 
         if pod:
-            # Per-host data: each process holds/streams a disjoint song
-            # subset and assembles its rows into the global batch
-            # (zero cross-host audio traffic; the gradient all-reduce is
-            # the only inter-host tensor exchange).
-            if bank is None:
-                if rcfg.device_data:
-                    try:
-                        bank = D.make_pod_bank(rcfg, "train", in_len, out_len)
-                        print(f"[pod {jax.process_index()}] per-host bank: "
-                              f"{bank.n_songs} songs, "
-                              f"{bank.nbytes() / 1e6:.0f} MB HBM")
-                    except (FileNotFoundError, ValueError) as e:
-                        print(f"pod device bank unavailable ({e}); "
-                              f"using host pipeline")
+            # Pod data, best to worst: (1) the device-SHARDED bank — songs
+            # round-robin across every mesh device, 1/n_devices of the
+            # dataset per chip, sampling inside the jitted program, so the
+            # zero-dispatch scanned epoch extends to pod training; (2) the
+            # per-host eager bank (one host-local shard sampled on a local
+            # device, global batch assembled without cross-host audio
+            # traffic); (3) the host pipeline shard.
+            from waveunet_tpu.data.device_cache import ShardedBank
+            if bank is None and rcfg.device_data and rcfg.scan_epoch:
+                try:
+                    bank = D.make_sharded_bank(rcfg, "train", in_len,
+                                               out_len, mesh,
+                                               batch_size=rcfg.batch_size)
+                    print(f"[pod {jax.process_index()}] device-sharded "
+                          f"bank: {bank.local_songs} songs / "
+                          f"{bank.nbytes() / 1e6:.0f} MB HBM across "
+                          f"{bank.n_local_devices} local devices")
+                except (FileNotFoundError, ValueError) as e:
+                    print(f"pod sharded bank unavailable ({e}); "
+                          f"trying per-host bank")
+            if isinstance(bank, ShardedBank):
+                bank.set_batch(rcfg.batch_size)
+                from waveunet_tpu.train.step import make_scanned_epoch
+                epoch_fn = make_scanned_epoch(
+                    rcfg, rcfg.init_sup_sep_lr, rcfg.epoch_it,
+                    bank.sample_raw, mesh=mesh, chunk=rcfg.scan_chunk,
+                    bank_shardings=bank.shardings, presharded_batch=True)
+                data_key = jax.random.PRNGKey(rcfg.seed + rnd)
             else:
-                bank.set_batch(rcfg.batch_size // n_proc)
-            if bank is not None:
-                local_it = bank.batches(jax.random.PRNGKey(rcfg.seed + rnd))
-            else:
-                pipe = D.make_pod_pipeline(rcfg, "train", in_len, out_len,
-                                           seed=rcfg.seed + rnd)
-                local_it = pipe.prefetched(pipe.train_batches())
-            train_it = (D.global_batch_from_local(mesh, lb)
-                        for lb in local_it)
-            # The scanned epoch samples inside one jitted program; with
-            # per-host banks the sample is host-local, so pod mode keeps the
-            # eager per-step loop (still zero host bytes via the bank).
+                if bank is None:
+                    if rcfg.device_data:
+                        try:
+                            bank = D.make_pod_bank(rcfg, "train", in_len,
+                                                   out_len)
+                            print(f"[pod {jax.process_index()}] per-host "
+                                  f"bank: {bank.n_songs} songs, "
+                                  f"{bank.nbytes() / 1e6:.0f} MB HBM")
+                        except (FileNotFoundError, ValueError) as e:
+                            print(f"pod device bank unavailable ({e}); "
+                                  f"using host pipeline")
+                else:
+                    bank.set_batch(rcfg.batch_size // n_proc)
+                if bank is not None:
+                    local_it = bank.batches(
+                        jax.random.PRNGKey(rcfg.seed + rnd))
+                else:
+                    pipe = D.make_pod_pipeline(rcfg, "train", in_len,
+                                               out_len, seed=rcfg.seed + rnd)
+                    local_it = pipe.prefetched(pipe.train_batches())
+                train_it = (D.global_batch_from_local(mesh, lb)
+                            for lb in local_it)
         else:
             if bank is None:
                 bank, train_it = make_train_source(rcfg, in_len, out_len,

@@ -122,7 +122,8 @@ def make_train_step(cfg: Config, lr: float,
 
 def make_scanned_epoch(cfg: Config, lr: float, n_steps: int, sample_fn,
                        mesh: Optional[jax.sharding.Mesh] = None,
-                       chunk: Optional[int] = None):
+                       chunk: Optional[int] = None,
+                       bank_shardings=None, presharded_batch: bool = False):
     """ONE jitted program for a whole epoch: ``lax.scan`` over
     sample-from-HBM-bank -> train step.
 
@@ -131,28 +132,37 @@ def make_scanned_epoch(cfg: Config, lr: float, n_steps: int, sample_fn,
     compiles the epoch once (scan does not unroll) and runs it with ZERO host
     involvement — the TPU-native shape of `Training.py:103-109`'s hot loop.
     Data comes from the device-resident bank via ``sample_fn`` (the bank's raw
-    traceable sampler), keys folded from (data_key, offset + i) and
-    (step_rng, step0 + i) so the stream matches the eager loop's convention.
+    traceable sampler, called as ``sample_fn(*bank_args, key)``), keys folded
+    from (data_key, offset + i) and (step_rng, step0 + i) so the stream
+    matches the eager loop's convention.
 
-    Returns ``epoch(params, mstate, opt_state, bank, starts, valids,
-    data_key, step_rng, step0) -> (params, mstate, opt_state, losses)`` with
-    donated model/optimizer buffers.
+    Returns ``epoch(params, mstate, opt_state, *bank_args, data_key,
+    step_rng, step0) -> (params, mstate, opt_state, losses)`` with donated
+    model/optimizer buffers; ``bank_args`` defaults to the single-device
+    bank's ``(bank, starts, valids)`` triple.
 
     With ``mesh``, the in-scan batch is sharding-constrained along the data
     axis (bank/params replicated): the scan body is the same DP step XLA
     compiles for the eager mesh path — gradients all-reduce inside the scan.
+    At pod scale pass a :class:`~waveunet_tpu.data.device_cache.ShardedBank`'s
+    ``sample_raw`` plus its ``shardings`` as ``bank_shardings`` and
+    ``presharded_batch=True``: the shard_map sampler already emits a
+    data-sharded global batch from per-device bank shards, so a multi-host
+    epoch runs with the same zero per-step dispatches as single-host.
     """
     loss_fn = make_loss_fn(cfg, training=True)
     tx = make_optimizer(lr)
+    n_bank = 3 if bank_shardings is None else len(bank_shardings)
 
     def build(m: int):
-        def epoch(params, mstate, opt_state, bank, starts, valids, data_key,
-                  step_rng, step0):
+        def epoch(params, mstate, opt_state, *rest):
+            bank_args, (data_key, step_rng, step0) = rest[:-3], rest[-3:]
+
             def body(carry, i):
                 params, mstate, opt_state = carry
-                batch = sample_fn(bank, starts, valids,
+                batch = sample_fn(*bank_args,
                                   jax.random.fold_in(data_key, step0 + i))
-                if mesh is not None:
+                if mesh is not None and not presharded_batch:
                     from jax.sharding import NamedSharding, PartitionSpec as P
                     data = NamedSharding(mesh, P(mesh.axis_names, None, None))
                     batch = {k: jax.lax.with_sharding_constraint(v, data)
@@ -171,8 +181,10 @@ def make_scanned_epoch(cfg: Config, lr: float, n_steps: int, sample_fn,
         if mesh is None:
             return jax.jit(epoch, donate_argnums=(0, 1, 2))
         rep, _ = _shardings(mesh)
+        bsh = ((rep,) * n_bank if bank_shardings is None
+               else tuple(bank_shardings))
         return jax.jit(epoch, donate_argnums=(0, 1, 2),
-                       in_shardings=(rep,) * 6 + (rep, rep, None),
+                       in_shardings=(rep, rep, rep) + bsh + (rep, rep, None),
                        out_shardings=(rep, rep, rep, rep))
 
     if not chunk or chunk >= n_steps:
@@ -189,14 +201,14 @@ def make_scanned_epoch(cfg: Config, lr: float, n_steps: int, sample_fn,
     chunk_fn = build(chunk)
     rem_fn = build(rem) if rem else None
 
-    def chunked(params, mstate, opt_state, bank, starts, valids, data_key,
-                step_rng, step0):
+    def chunked(params, mstate, opt_state, *rest):
+        bank_args, (data_key, step_rng, step0) = rest[:-3], rest[-3:]
         losses = []
         off = 0
         for fn, m in [(chunk_fn, chunk)] * n_full + (
                 [(rem_fn, rem)] if rem_fn is not None else []):
             params, mstate, opt_state, l = fn(
-                params, mstate, opt_state, bank, starts, valids, data_key,
+                params, mstate, opt_state, *bank_args, data_key,
                 step_rng, step0 + off)
             losses.append(l)
             off += m
