@@ -11,6 +11,7 @@ Usage:
   python tools/perf_probe.py e2e   <num_frames> <batch> <fp32|bf16> [out.jsonl]
   python tools/perf_probe.py train <num_frames> <batch> <fp32|bf16> [out.jsonl]
   python tools/perf_probe.py scan  <num_frames> <batch> <fp32|bf16> [out.jsonl]
+  python tools/perf_probe.py podscan <num_frames> <batch> <fp32|bf16> [out.jsonl]
 
 The `roof` mode times the bare jitted forward (no transfers): the number the
 inference engine approaches when the host link is not the bottleneck
@@ -212,6 +213,62 @@ def main():
             # SCAN_REPEATS=0: only the cold call ran — that includes the
             # (multi-minute) compile, so recording it as a warm per-step
             # figure would be wildly wrong. Leave the warm fields out.
+            rec["scan_step_ms"] = rec["steps_per_s"] = None
+
+    elif mode == "podscan":
+        # The POD form of the scanned epoch on the attached chip(s): the
+        # device-SHARDED bank's shard_map sampler inside the whole-epoch
+        # lax.scan (optimise()'s multi-host default, train/loop.py). On one
+        # chip the mesh is size 1 — this isolates the shard_map + global-
+        # array overhead vs plain `scan` mode (same synthetic songs/shapes),
+        # i.e. what extending zero-dispatch training to pods costs per step.
+        from waveunet_tpu.data.device_cache import ShardedBank
+        from waveunet_tpu.parallel.mesh import make_mesh
+        from waveunet_tpu.train.step import make_scanned_epoch, make_train_step
+        tcfg = cfg.replace(num_frames=frames, batch_size=batch)
+        t_in, t_out = shapes.get_padding(tcfg, frames)
+        mesh = make_mesh()
+        rec["mesh_devices"] = mesh.size
+        rng = np.random.default_rng(0)
+        tracks = []
+        for i in range(max(2 * mesh.size, 2)):
+            n = 4 * t_in + 37 * i
+            t = {s: (0.1 * rng.standard_normal((n, tcfg.num_channels))
+                     ).astype(np.float32) for s in tcfg.source_names}
+            t["mix"] = np.zeros((n, tcfg.num_channels), np.float32)
+            tracks.append(t)
+        sbank = ShardedBank.from_tracks(tcfg, t_in, t_out, mesh, tracks,
+                                        batch_size=batch)
+        n_steps = int(os.environ.get("SCAN_STEPS", "50"))
+        chunk = int(os.environ.get("SCAN_CHUNK", "0")) or None
+        epoch_fn = make_scanned_epoch(tcfg, 1e-4, n_steps, sbank.sample_raw,
+                                      mesh=mesh, chunk=chunk,
+                                      bank_shardings=sbank.shardings,
+                                      presharded_batch=True)
+        init_opt, _ = make_train_step(tcfg, 1e-4, mesh=mesh)
+        opt_state = init_opt(params)
+        mstate = {}
+
+        def run(p, ms, os_):
+            p, ms, os_, losses = epoch_fn(p, ms, os_, *sbank.arrays,
+                                          jax.random.PRNGKey(1),
+                                          jax.random.PRNGKey(2), 0)
+            float(losses[-1])  # value fetch = real sync (CLAUDE.md hazard)
+            return p, ms, os_
+
+        t0 = time.perf_counter()
+        params, mstate, opt_state = run(params, mstate, opt_state)
+        rec["first_call_s"] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(int(os.environ.get("SCAN_REPEATS", "4"))):
+            t0 = time.perf_counter()
+            params, mstate, opt_state = run(params, mstate, opt_state)
+            times.append(time.perf_counter() - t0)
+        rec["scan_steps"] = n_steps
+        if times:
+            rec["scan_step_ms"] = round(min(times) / n_steps * 1e3, 3)
+            rec["steps_per_s"] = round(n_steps / min(times), 2)
+        else:
             rec["scan_step_ms"] = rec["steps_per_s"] = None
     else:
         raise SystemExit(f"unknown mode {mode}")
