@@ -301,3 +301,51 @@ def test_stitching_matches_serial_all_families(rng, preset, kw):
         for s in cfg.source_names:
             np.testing.assert_allclose(got[s], preds[s][:n], atol=1e-5,
                                        err_msg=f"{preset} n={n} {s}")
+
+
+@pytest.mark.parametrize("wire", ["float32", "int16"])
+def test_resident_sweep_matches_host_stitch(rng, wire):
+    """The single-program device-resident sweep (bench.py's
+    tunnel-independent engine headline path) produces the production
+    host-stitched output: same chunk schedule, same wire round-trip, same
+    overlap semantics, difference source included."""
+    # difference output: the host-reconstruction path is covered too
+    cfg = get_config("baseline", num_layers=3, num_frames=256, infer_batch=4,
+                     infer_num_frames=None, infer_wire_dtype=wire,
+                     output_type="difference")
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+
+    sep = Separator(cfg, params)
+    pad = (in_len - out_len) // 2
+    # 13 windows: two full batches + the 4+1 split tail, right-aligned last
+    n = out_len * 12 + 31
+    audio = (0.1 * rng.standard_normal((n, 1))).astype(np.float32)
+    host = sep.separate(audio, cfg.expected_sr)
+
+    padded = np.pad(audio, [(pad, pad), (0, 0)])
+    if wire == "int16":
+        from waveunet_tpu.runtime import native
+        padded = native.quantize_int16(padded)
+    fn, positions = sep.resident_sweep(n)
+    assert positions.shape[0] == 13
+    out, checksum = fn(params, jnp.asarray(padded))
+    assert np.isfinite(float(checksum))
+    for s in cfg.source_names:
+        # int16 wire: the host path reconstructs the difference source from
+        # the ORIGINAL float mix, the device path from the wire-quantised
+        # mix — up to 1 LSB (3.05e-5) apart, inside the PCM16 output floor
+        # either way (engine.py difference-output note).
+        tol = 4e-5 if (wire == "int16"
+                       and s == cfg.source_names[-1]) else 2e-6
+        np.testing.assert_allclose(np.asarray(out[s]), host[s], atol=tol,
+                                   err_msg=s)
+
+
+def test_resident_sweep_too_short_raises(rng):
+    cfg = get_config("baseline", num_layers=3, num_frames=256,
+                     infer_num_frames=None)
+    _, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    sep = Separator(cfg, init_waveunet(jax.random.PRNGKey(0), cfg))
+    with pytest.raises(ValueError, match="shorter than one output window"):
+        sep.resident_sweep(out_len - 1)

@@ -211,6 +211,79 @@ class Separator:
                 count += 1
         return count
 
+    def resident_sweep(self, n_total: int):
+        """ONE jitted program sweeping a whole DEVICE-RESIDENT padded song:
+        on-device framing, every window through the batched forward (equal-
+        size chunk groups under ``lax.map`` — the same chunk schedule
+        `_run_batched` dispatches), the wire-dtype quantise/dequantise round
+        trip, a device-side stitch with the reference overlap semantics
+        (`Evaluate.py:125-139`), and difference-source reconstruction.
+
+        Returns ``(fn, positions)`` where ``fn(params, song_dev) ->
+        (sources, checksum)``: ``sources`` are stitched [n_total, C] float32
+        arrays still in HBM; ``checksum`` is a scalar whose VALUE fetch syncs
+        the sweep with a single scalar D2H. This is bench.py's
+        tunnel-independent engine headline path — identical compute graph to
+        the production sweep but one dispatch and zero bulk host traffic, so
+        the number moves when the engine moves, not when the host link does.
+        Compiles per song length (fine for a fixed bench song; dataset evals
+        keep `_run_batched`'s host stitch for exactly that reason).
+        """
+        if n_total < self.out_len:
+            raise ValueError(f"song shorter than one output window "
+                             f"({n_total} < {self.out_len}); pad first")
+        positions = window_positions(n_total, self.out_len).astype(np.int32)
+        n_win = int(positions.shape[0])
+        sizes = self._chunk_sizes(n_win)
+        pos_pad = np.full((sum(sizes),), positions[-1], np.int32)
+        pos_pad[:n_win] = positions
+        groups = []  # equal-size runs of the chunk schedule: (k, count)
+        for k in sizes:
+            if groups and groups[-1][0] == k:
+                groups[-1][1] += 1
+            else:
+                groups.append([k, 1])
+        out_len, pad = self.out_len, self.pad
+        names = list(self.cfg.source_names)
+        reconstruct_last = self._host_reconstruct_last
+
+        def fn(params, song):
+            off = 0
+            parts = []
+            for k, cnt in groups:
+                pmat = jnp.asarray(
+                    pos_pad[off:off + cnt * k].reshape(cnt, k))
+                outs = jax.lax.map(
+                    lambda p: self._fwd(params, song, p), pmat)
+                parts.append({n: v.reshape(cnt * k, out_len, v.shape[-1])
+                              for n, v in outs.items()})
+                off += cnt * k
+            wins = {n: jnp.concatenate([c[n] for c in parts], 0)[:n_win]
+                    for n in parts[0]}
+            pos_arr = jnp.asarray(positions)
+
+            def stitch(w):
+                if w.dtype == jnp.int16:  # dequant-then-stitch == the host
+                    w = w.astype(jnp.float32) / 32767.0  # stitch-then-dequant
+                buf = jnp.zeros((n_total, w.shape[2]), jnp.float32)
+
+                def body(i, b):  # writes in window order: later writes win
+                    return jax.lax.dynamic_update_slice(
+                        b, w[i], (pos_arr[i], 0))
+                return jax.lax.fori_loop(0, n_win, body, buf)
+
+            out = {n: stitch(w) for n, w in wins.items()}
+            if reconstruct_last:
+                mix = jax.lax.dynamic_slice_in_dim(song, pad, n_total, 0)
+                if mix.dtype == jnp.int16:
+                    mix = mix.astype(jnp.float32) / 32767.0
+                out[names[-1]] = jnp.clip(
+                    mix - sum(out[s] for s in names[:-1]), -1.0, 1.0)
+            checksum = sum(jnp.sum(v) for v in out.values())
+            return out, checksum
+
+        return jax.jit(fn), positions
+
     # -- full-song separation -------------------------------------------------
     def separate(self, mix_audio: np.ndarray, mix_sr: int) -> Dict[str, np.ndarray]:
         """Separate (n_frames, n_channels) audio; returns sources at the model's
@@ -257,24 +330,14 @@ class Separator:
     # log-many times instead of once per song length.
     _LEN_BUCKET = 1 << 20  # ~23.8 s at 44.1 kHz
 
-    def _run_batched(self, padded: np.ndarray, positions: np.ndarray,
-                     n_total: int) -> Dict[str, np.ndarray]:
-        """Sweep every window through the jitted on-device-framed forward and
-        stitch on device; one device->host fetch per source.
-
-        Chunks are dispatched asynchronously, overlapping H2D, compute, and the
-        final D2H. The device-side stitch reproduces the reference's serial
-        overlap semantics (`Evaluate.py:125-139`): windows are contiguous at
-        hop = out_len except the right-aligned final window, whose tail slice
-        supplies the last ``n_total - (n_win-1)*out_len`` samples.
-        """
-        n_win = positions.shape[0]
+    def _chunk_sizes(self, n_win: int):
+        """Per-dispatch window counts: full device batches, then a
+        pow2-bucketed tail chunk (single-device only — a sharded batch must
+        stay mesh-divisible). Padding the tail to the FULL batch instead
+        wastes up to ~2x compute and D2H on short songs (measured: a 30 s
+        22 kHz song at the 65536 window is 11 windows — 16-slot padding
+        burned 45% of the sweep)."""
         bs = self.batch
-        # Chunk sizes: full device batches, then a pow2-bucketed tail chunk
-        # (single-device only — a sharded batch must stay mesh-divisible).
-        # Padding the tail to the FULL batch instead wastes up to ~2x compute
-        # and D2H on short songs (measured: a 30 s 22 kHz song at the 65536
-        # window is 11 windows — 16-slot padding burned 45% of the sweep).
         sizes = [bs] * (n_win // bs)
         rem = n_win % bs
         if rem:
@@ -291,6 +354,22 @@ class Separator:
                     sizes.append(single)
             else:
                 sizes.append(bs)
+        return sizes
+
+    def _run_batched(self, padded: np.ndarray, positions: np.ndarray,
+                     n_total: int) -> Dict[str, np.ndarray]:
+        """Sweep every window through the jitted on-device-framed forward and
+        stitch on device; one device->host fetch per source.
+
+        Chunks are dispatched asynchronously, overlapping H2D, compute, and the
+        final D2H. The device-side stitch reproduces the reference's serial
+        overlap semantics (`Evaluate.py:125-139`): windows are contiguous at
+        hop = out_len except the right-aligned final window, whose tail slice
+        supplies the last ``n_total - (n_win-1)*out_len`` samples.
+        """
+        n_win = positions.shape[0]
+        bs = self.batch
+        sizes = self._chunk_sizes(n_win)
         # Pad positions (repeat last) to the chunk-size sum, and the song to a
         # length bucket (extra zeros are never gathered: positions are bounded
         # by n_total - out_len).
