@@ -1,4 +1,15 @@
-.PHONY: test test-fast bench dryrun golden native clean
+.PHONY: test test-fast bench dryrun golden native clean quality parity
+
+# Trained-quality artifact: train through the real driver to early stop,
+# score with in-repo BSS-Eval v4, write docs/quality_synth.json.
+quality:
+	python tools/quality.py
+
+# Zoo-parity run (needs real MUSDB18 + the reference's pretrained zoo):
+#   make parity MUSDB=/path/to/musdb18 [ZOO=/path/to/checkpoints]
+ZOO ?= checkpoints
+parity:
+	python tools/parity.py --musdb "$(MUSDB)" --zoo "$(ZOO)"
 
 test:
 	python -m pytest tests/ -q
