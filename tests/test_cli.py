@@ -131,6 +131,27 @@ def test_predict_checkpoint_auto_empty_is_error(cli_env, tmp_path):
     assert e.value.code == 2
 
 
+def test_predict_cli_checkpoint_best(cli_env, tmp_path, capsys):
+    """checkpoint=best resolves the best-validation checkpoint the train
+    driver recorded in best.txt — NOT the newest step dir: with early
+    stopping the newest sat through worse_epochs validation regressions
+    (the reference tests best_model_path, Training.py:88-90,161). A
+    dangling best (no best.txt) is an error like a dangling auto."""
+    root = cli_env["root"]
+    mix = str(root / "db" / "test" / "songC" / "mixture.wav")
+    for extra in (["experiment_id=clitest"], []):
+        cli.main(["predict", "baseline"] + cli_env["args"]
+                 + [f"input_path={mix}", "checkpoint=best",
+                    f"output_path={tmp_path}"] + extra)
+        out = capsys.readouterr().out
+        assert f"checkpoint=best -> {cli_env['best']}" in out
+    with pytest.raises(SystemExit) as e:
+        cli.main(["predict", "baseline"] + cli_env["args"]
+                 + [f"input_path={mix}", "checkpoint=best",
+                    f"model_base_dir={tmp_path / 'nothing'}"])
+    assert e.value.code == 2
+
+
 def test_no_checkpoint_is_error_unless_random_init(cli_env, tmp_path, capsys):
     """predict/evaluate/stream with NO checkpoint must fail fast (scoring
     random weights masquerades as a catastrophically bad model); random_init=1

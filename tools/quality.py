@@ -10,8 +10,9 @@ production-shaped: stereo 44.1 kHz, minutes-long songs, MUSDB WAV layout):
   2. `cli train <preset> ... worse_epochs=N` — the REAL product loop, run to
      early-stop convergence (2 rounds, fine-tune batch x2 / lr 1e-5), with
      `checkpoint=auto` so an interrupted run resumes,
-  3. `cli evaluate <preset> checkpoint=auto` — full harness, host-fp64
-     BSS-Eval v4 (museval-parity scoring, `eval/bsseval.py`),
+  3. `cli evaluate <preset> checkpoint=best` — full harness scoring the
+     early-stop driver's best-validation checkpoint, host-fp64 BSS-Eval v4
+     (museval-parity scoring, `eval/bsseval.py`),
   4. score the MIXTURE-AS-ESTIMATE baseline on the same tracks (the no-op
      separator: est_s = mix for every source) for the delta column,
   5. write the table to stdout + a JSON artifact (default
@@ -136,8 +137,11 @@ def main() -> int:
         train_wall = round(time.time() - t_train, 1)
 
     results = os.path.join(args.root, "estimates", "test")
+    # checkpoint=best: score the early-stop driver's best-validation model
+    # (best.txt), not the newest step dir — the newest sat through
+    # worse_epochs regressions by construction (reference Training.py:161).
     run_streamed([sys.executable, "-m", "waveunet_tpu.cli", "evaluate"]
-                 + common + ["checkpoint=auto"], t0)
+                 + common + ["checkpoint=best"], t0)
 
     print("Scoring the mixture-as-estimate baseline ...", flush=True)
     from waveunet_tpu.config import get_config

@@ -226,20 +226,29 @@ def _load_params(cfg, checkpoint, experiment_id="", allow_random=False):
     from waveunet_tpu.train import checkpoint as ckpt
     from waveunet_tpu.train.loop import init_state
 
-    if checkpoint == "auto":
-        # Same grammar as `train checkpoint=auto`: newest step dir under
-        # model_base_dir/<experiment_id>; without an experiment_id, the
-        # newest step dir across ALL experiments (mtime order). Unlike the
-        # None case below, a dangling auto is an ERROR — silently scoring
-        # random weights because of a typo'd path would be worse.
-        checkpoint = _resolve_auto_checkpoint(cfg, experiment_id)
+    if checkpoint in ("auto", "best"):
+        # auto: newest step dir under model_base_dir/<experiment_id>;
+        # without an experiment_id, the newest step dir across ALL
+        # experiments (mtime order). best: the checkpoint the early-stop
+        # driver recorded as best-validation (best.txt) — with early
+        # stopping the NEWEST checkpoint is by construction worse than the
+        # best one (it sat through `worse_epochs` regressions), so `best`
+        # is what evaluate/predict after a training run normally want
+        # (matching the reference, which tests `best_model_path`,
+        # `Training.py:88-90,161`). Unlike the None case below, a dangling
+        # auto/best is an ERROR — silently scoring random weights because
+        # of a typo'd path would be worse.
+        mode = checkpoint
+        checkpoint = (_resolve_auto_checkpoint(cfg, experiment_id)
+                      if mode == "auto"
+                      else _resolve_best_checkpoint(cfg, experiment_id))
         if checkpoint is None:
-            print(f"error: checkpoint=auto found nothing under "
+            print(f"error: checkpoint={mode} found nothing under "
                   f"{cfg.model_base_dir!r}"
                   + (f" for experiment_id={experiment_id!r}"
                      if experiment_id else ""), file=sys.stderr)
             sys.exit(2)
-        print(f"checkpoint=auto -> {checkpoint}")
+        print(f"checkpoint={mode} -> {checkpoint}")
     if checkpoint is None:
         if not allow_random:
             print("error: no checkpoint given — pass checkpoint=<path>, "
@@ -274,6 +283,34 @@ def _resolve_auto_checkpoint(cfg, experiment_id):
             mtime = os.path.getmtime(path)
             if mtime > best_mtime:
                 best, best_mtime = path, mtime
+    return best
+
+
+def _resolve_best_checkpoint(cfg, experiment_id):
+    """The best-validation checkpoint the train driver recorded in
+    <experiment>/best.txt; without an experiment_id, the newest best.txt
+    across experiments. None if the marker or the checkpoint it names is
+    gone (e.g. pruned with keep_checkpoints and no protection — cannot
+    happen through the driver, which always protects best_path)."""
+    def read_marker(exp):
+        marker = os.path.join(cfg.model_base_dir, str(exp), "best.txt")
+        if not os.path.isfile(marker):
+            return None
+        with open(marker) as f:
+            path = f.read().strip()
+        return path if path and os.path.isdir(path) else None
+
+    if experiment_id:
+        return read_marker(experiment_id)
+    if not os.path.isdir(cfg.model_base_dir):
+        return None
+    best, best_mtime = None, -1.0
+    for exp in os.listdir(cfg.model_base_dir):
+        marker = os.path.join(cfg.model_base_dir, exp, "best.txt")
+        if os.path.isfile(marker):
+            mtime = os.path.getmtime(marker)
+            if mtime > best_mtime and read_marker(exp) is not None:
+                best, best_mtime = read_marker(exp), mtime
     return best
 
 
