@@ -1,9 +1,14 @@
-.PHONY: test test-fast bench dryrun golden native clean quality parity
+.PHONY: test test-fast bench dryrun golden native clean quality quality-multi parity
 
 # Trained-quality artifact: train through the real driver to early stop,
 # score with in-repo BSS-Eval v4, write docs/quality_synth.json.
 quality:
 	python tools/quality.py
+
+# Same, for the 4-source multi_instrument task (M6): writes
+# docs/quality_synth_multi.json.
+quality-multi:
+	python tools/quality.py --preset full_multi_instrument
 
 # Zoo-parity run (needs real MUSDB18 + the reference's pretrained zoo):
 #   make parity MUSDB=/path/to/musdb18 [ZOO=/path/to/checkpoints]

@@ -3,8 +3,12 @@ in-repo BSS-Eval v4, emit the SDR table.
 
 Real MUSDB18 and the pretrained zoo are absent in this offline environment
 (BASELINE.md), so quality-side completeness is demonstrated on the soak's
-synthetic-but-learnable dataset (harmonic vocals + chord-pad accompaniment,
-production-shaped: stereo 44.1 kHz, minutes-long songs, MUSDB WAV layout):
+synthetic-but-learnable dataset (production-shaped: stereo 44.1 kHz,
+minutes-long songs, MUSDB WAV layout). Both tasks are covered: the voice
+task (harmonic vocals + chord-pad accompaniment, `--preset full_44KHz`)
+and the 4-source multi_instrument task (bass/drums/other/vocals,
+`--preset full_multi_instrument`, M6) — the task and all run paths are
+derived from the preset. Steps:
 
   1. synthesize the dataset (reuses tools/soak.py's generator),
   2. `cli train <preset> ... worse_epochs=N` — the REAL product loop, run to
@@ -98,30 +102,39 @@ def main() -> int:
                     help="safety cap per round (default: none — run to "
                          "early stop, the production regime)")
     ap.add_argument("--preset", default="full_44KHz")
-    ap.add_argument("--out", default=os.path.join(REPO, "docs",
-                                                  "quality_synth.json"))
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default docs/quality_synth.json, "
+                         "or quality_synth_multi.json for the "
+                         "multi_instrument task)")
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("extra", nargs="*", help="extra key=value CLI fragments")
     args = ap.parse_args()
 
+    from waveunet_tpu.config import get_config
+    task = get_config(args.preset).task
+    multi = task == "multi_instrument"
+    sfx = "_multi" if multi else ""
+    if args.out is None:
+        args.out = os.path.join(REPO, "docs", f"quality_synth{sfx}.json")
+
     if args.fresh and os.path.isdir(args.root):
         shutil.rmtree(args.root)
-    db = os.path.join(args.root, "db")
+    db = os.path.join(args.root, f"db{sfx}")
     if not os.path.isdir(db):
         import soak
-        print(f"Synthesizing quality dataset at {db} ...")
+        print(f"Synthesizing quality dataset at {db} ({task}) ...")
         soak.build_db(db, 44100, args.train_songs, args.test_songs,
-                      args.seconds)
+                      args.seconds, task=task)
 
     common = [args.preset,
               f"musdb_path={db}",
-              f"data_path={os.path.join(args.root, 'cache')}",
-              f"model_base_dir={os.path.join(args.root, 'ckpts')}",
-              f"log_dir={os.path.join(args.root, 'logs')}",
-              f"estimates_path={os.path.join(args.root, 'estimates')}",
+              f"data_path={os.path.join(args.root, 'cache' + sfx)}",
+              f"model_base_dir={os.path.join(args.root, 'ckpts' + sfx)}",
+              f"log_dir={os.path.join(args.root, 'logs' + sfx)}",
+              f"estimates_path={os.path.join(args.root, 'estimates' + sfx)}",
               f"num_val_songs={args.num_val_songs}",
-              "experiment_id=quality"]
+              f"experiment_id=quality{sfx}"]
     t0 = time.time()
     train_wall = None
     if not args.skip_train:
@@ -136,7 +149,7 @@ def main() -> int:
                      + list(args.extra), t0)
         train_wall = round(time.time() - t_train, 1)
 
-    results = os.path.join(args.root, "estimates", "test")
+    results = os.path.join(args.root, "estimates" + sfx, "test")
     # checkpoint=best: score the early-stop driver's best-validation model
     # (best.txt), not the newest step dir — the newest sat through
     # worse_epochs regressions by construction (reference Training.py:161).
@@ -144,9 +157,8 @@ def main() -> int:
                  + common + ["checkpoint=best"], t0)
 
     print("Scoring the mixture-as-estimate baseline ...", flush=True)
-    from waveunet_tpu.config import get_config
     cfg = get_config(args.preset, musdb_path=db)
-    base_dir = os.path.join(args.root, "baseline_mixture")
+    base_dir = os.path.join(args.root, "baseline_mixture" + sfx)
     mixture_baseline(cfg, db, base_dir)
 
     model_stats = aggregate(results)
@@ -159,6 +171,7 @@ def main() -> int:
                     "song_seconds": args.seconds, "sr": 44100,
                     "channels": 2},
         "preset": args.preset,
+        "task": task,
         "regime": {"epoch_it": args.epoch_it,
                    "worse_epochs": args.worse_epochs,
                    "max_epochs_per_round": args.max_epochs,

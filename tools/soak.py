@@ -69,8 +69,50 @@ def synth_song(rng, seconds: int, sr: int):
     return st(voc), st(acc)
 
 
+def synth_song_multi(rng, seconds: int, sr: int):
+    """Four spectrally-separable stems for the multi_instrument task
+    (`Config.py:43-48` source table): bass = low fundamental with slow
+    envelope, drums = tempo-locked decaying noise bursts, other = chord pad,
+    vocals = the voice-task harmonic tone. Returns {stem: [n, 2]}."""
+    import numpy as np
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+
+    def st(x, delay=23):
+        r = np.roll(x, delay)
+        r[:delay] = 0.0
+        return np.stack([x, 0.9 * r + 0.1 * x], axis=1)
+
+    voc, pad = synth_song(rng, seconds, sr)
+
+    f_bass = rng.uniform(50.0, 90.0)
+    env_b = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.2, 0.6) * t)
+    bass = 0.28 * env_b * (np.sin(2 * np.pi * f_bass * t)
+                           + 0.3 * np.sin(2 * np.pi * 2 * f_bass * t))
+    bass = st(bass.astype(np.float32), delay=11)
+
+    bpm = rng.uniform(90.0, 140.0)
+    period = int(sr * 60.0 / bpm)
+    hit = np.zeros(n, np.float32)
+    decay = np.exp(-np.arange(min(period, int(0.08 * sr))) / (0.015 * sr))
+    for start in range(0, n, period):
+        burst = rng.standard_normal(decay.shape[0]).astype(np.float32) * decay
+        end = min(n, start + burst.shape[0])
+        hit[start:end] += burst[: end - start]
+    drums = st((0.22 * hit).astype(np.float32), delay=5)
+
+    stems = {"bass": bass, "drums": drums,
+             "other": (0.7 * pad).astype(np.float32), "vocals": voc}
+    # keep the written mixture inside int16 range: the ingest additivity
+    # check (`data/ingest.py:56-58`) needs mixture == sum(stems) exactly
+    peak = float(np.abs(sum(stems.values())).max())
+    if peak > 0.95:
+        stems = {k: (0.95 / peak) * v for k, v in stems.items()}
+    return stems
+
+
 def build_db(db_dir: str, sr: int, train_songs: int, test_songs: int,
-             seconds: int) -> None:
+             seconds: int, task: str = "voice") -> None:
     import numpy as np
     from waveunet_tpu.data.audio_io import write_wav
     rng = np.random.default_rng(2026)
@@ -79,11 +121,18 @@ def build_db(db_dir: str, sr: int, train_songs: int, test_songs: int,
         for i in range(n_songs):
             d = os.path.join(db_dir, part, f"song{i}")
             os.makedirs(d, exist_ok=True)
-            voc, acc = synth_song(rng, seconds, sr)
-            write_wav(os.path.join(d, "vocals.wav"), voc, sr)
-            write_wav(os.path.join(d, "accompaniment.wav"), acc, sr)
-            write_wav(os.path.join(d, "mixture.wav"), voc + acc, sr)
-            print(f"  wrote {part}/song{i} ({seconds}s stereo @ {sr} Hz)")
+            if task == "multi_instrument":
+                stems = synth_song_multi(rng, seconds, sr)
+            else:
+                voc, acc = synth_song(rng, seconds, sr)
+                stems = {"vocals": voc, "accompaniment": acc}
+            mix = np.zeros_like(next(iter(stems.values())))
+            for name, audio in stems.items():
+                write_wav(os.path.join(d, f"{name}.wav"), audio, sr)
+                mix = mix + audio
+            write_wav(os.path.join(d, "mixture.wav"), mix, sr)
+            print(f"  wrote {part}/song{i} ({seconds}s stereo @ {sr} Hz, "
+                  f"{len(stems)} stems)")
 
 
 def main() -> int:
