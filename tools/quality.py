@@ -113,14 +113,18 @@ def main() -> int:
 
     from waveunet_tpu.config import get_config
     task = get_config(args.preset).task
-    multi = task == "multi_instrument"
-    sfx = "_multi" if multi else ""
+    # dataset layout depends only on the task (stem set); run dirs must be
+    # unique per preset so e.g. full_44KHz and unet_spectrogram (both voice)
+    # don't clobber each other's checkpoints/estimates.
+    db_sfx = "_multi" if task == "multi_instrument" else ""
+    sfx = {"full_44KHz": "", "full_multi_instrument": "_multi"}.get(
+        args.preset, "_" + args.preset)
     if args.out is None:
         args.out = os.path.join(REPO, "docs", f"quality_synth{sfx}.json")
 
     if args.fresh and os.path.isdir(args.root):
         shutil.rmtree(args.root)
-    db = os.path.join(args.root, f"db{sfx}")
+    db = os.path.join(args.root, f"db{db_sfx}")
     if not os.path.isdir(db):
         import soak
         print(f"Synthesizing quality dataset at {db} ({task}) ...")
