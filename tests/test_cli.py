@@ -254,3 +254,17 @@ def test_convert_checkpoint_cli(tmp_path, capsys):
     y, ysr = load(str(tmp_path / "out" / "m.wav_vocals.wav"), sr=None,
                   mono=False)
     assert ysr == sr and y.shape[0] == mix.shape[0]
+
+
+def test_platform_fragment_is_consumed(cli_env, tmp_path, capsys):
+    """``platform=cpu`` pins the jax backend in-process (env vars are not
+    reliable when an accelerator plugin claims the default backend) and must
+    be consumed before config parsing — it is not a Config key."""
+    import jax
+
+    mix = os.path.join(cli_env["root"], "db", "test", "songC", "mixture.wav")
+    cli.main(["predict", "baseline", "platform=cpu"] + cli_env["args"]
+             + [f"input_path={mix}", f"checkpoint={cli_env['best']}",
+                f"output_path={tmp_path}"])
+    assert jax.config.jax_platforms == "cpu"
+    assert os.path.exists(os.path.join(tmp_path, "mixture.wav_vocals.wav"))

@@ -11,6 +11,11 @@ subcommands sharing the same preset + override grammar:
       [subset=test] [output_path=dir]
   python -m waveunet_tpu.cli prepare-data full_44KHz   # MUSDB -> npz cache
   python -m waveunet_tpu.cli presets                   # list named configs
+
+Any command accepts ``platform=cpu|tpu|...`` to pin the jax backend
+in-process (reliable even where an accelerator plugin ignores
+``JAX_PLATFORMS``) — e.g. smoke-test a config on the host CPU while the
+accelerator is busy.
 """
 
 from __future__ import annotations
@@ -32,6 +37,25 @@ def _setup_jax():
     except Exception:
         pass
     return jax
+
+
+def _apply_platform(argv: List[str]) -> List[str]:
+    """Honor a leading-anywhere ``platform=cpu|tpu|...`` CLI fragment.
+
+    Some accelerator plugins claim the default backend regardless of the
+    ``JAX_PLATFORMS`` environment variable, so an env var is not a reliable
+    way to run this CLI on the host CPU (smoke tests, CI, machines whose
+    accelerator is busy). ``jax.config.update("jax_platforms", ...)`` before
+    first device use IS reliable; this consumes the fragment and applies it.
+    """
+    rest = []
+    for a in argv:
+        if a.startswith("platform="):
+            import jax
+            jax.config.update("jax_platforms", a.split("=", 1)[1])
+        else:
+            rest.append(a)
+    return rest
 
 
 def _split_args(args: List[str]) -> Tuple[List[str], Dict[str, str]]:
@@ -532,7 +556,7 @@ def main(argv=None):
         sys.exit(0 if argv and argv[0] in ("-h", "--help") else 2)
     from waveunet_tpu.config import ConfigError
     try:
-        _COMMANDS[argv[0]](argv[1:])
+        _COMMANDS[argv[0]](_apply_platform(argv[1:]))
     except ConfigError as e:
         # unknown preset / bad override: show the message, not a traceback
         # (catching broad KeyError here masked real bugs as config errors)
