@@ -1,4 +1,4 @@
-.PHONY: test test-fast bench dryrun golden native clean quality quality-multi parity
+.PHONY: test test-fast bench dryrun golden native clean quality quality-multi quality-u7 parity
 
 # Trained-quality artifact: train through the real driver to early stop,
 # score with in-repo BSS-Eval v4, write docs/quality_synth.json.
@@ -9,6 +9,11 @@ quality:
 # docs/quality_synth_multi.json.
 quality-multi:
 	python tools/quality.py --preset full_multi_instrument
+
+# Same, for the U7 spectrogram family: writes
+# docs/quality_synth_unet_spectrogram.json.
+quality-u7:
+	python tools/quality.py --preset unet_spectrogram
 
 # Zoo-parity run (needs real MUSDB18 + the reference's pretrained zoo):
 #   make parity MUSDB=/path/to/musdb18 [ZOO=/path/to/checkpoints]
