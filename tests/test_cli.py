@@ -268,3 +268,33 @@ def test_platform_fragment_is_consumed(cli_env, tmp_path, capsys):
                 f"output_path={tmp_path}"])
     assert jax.config.jax_platforms == "cpu"
     assert os.path.exists(os.path.join(tmp_path, "mixture.wav_vocals.wav"))
+
+
+def test_checkpoint_best_dangling_newest_is_error(cli_env, tmp_path):
+    """When the NEWEST experiment's best.txt names a checkpoint dir that is
+    gone, checkpoint=best must error — silently falling back to an OLDER
+    experiment's best would score the wrong model without a word."""
+    import shutil
+    import time as _time
+
+    root = cli_env["root"]
+    mix = str(root / "db" / "test" / "songC" / "mixture.wav")
+    base = tmp_path / "ckpts2"
+    # older experiment: a VALID best (copy the trained one)
+    old = base / "older"
+    old.mkdir(parents=True)
+    kept = old / os.path.basename(cli_env["best"])
+    shutil.copytree(cli_env["best"], kept)
+    (old / "best.txt").write_text(str(kept) + "\n")
+    _time.sleep(0.05)
+    # newest experiment: best.txt names a pruned/removed dir
+    new = base / "newer"
+    new.mkdir()
+    (new / "best.txt").write_text(str(new / "step_0000000099") + "\n")
+    os.utime(new / "best.txt")  # strictly newer marker
+
+    with pytest.raises(SystemExit) as e:
+        cli.main(["predict", "baseline"] + cli_env["args"]
+                 + [f"input_path={mix}", "checkpoint=best",
+                    f"model_base_dir={base}", f"output_path={tmp_path}"])
+    assert e.value.code == 2

@@ -233,3 +233,45 @@ def test_pod_host_evaluate_single_process(tmp_path):
     assert c > 0
     want = _host_loss(cfg, params, in_len, out_len)
     np.testing.assert_allclose(pod_weighted_mean(s, c), want, rtol=1e-6)
+
+
+def test_pod_weighted_mean_preserves_f64():
+    """The allgather wires (sum, count) as f64 bit patterns: a sum whose
+    low bits vanish in float32 must come back exact (thousands of eval
+    batches otherwise inject ~1e-4 relative rounding noise into the
+    validation mean, enough to flip adjacent-epoch early-stop decisions)."""
+    from waveunet_tpu.parallel.distributed import pod_weighted_mean
+
+    s = 1.0 + 2.0 ** -30  # == 1.0 after a float32 round-trip
+    assert np.float32(s) == np.float32(1.0)
+    assert pod_weighted_mean(s, 1) == s
+
+
+def test_pod_host_evaluate_empty_vs_real_errors(tmp_path, monkeypatch):
+    """Only an EmptyShardError counts as a legitimate weight-0 shard; any
+    other ValueError (bad batch split, config errors) must raise — a pod
+    that silently turns a config error into inf validation every epoch
+    trains to worse_epochs and exits 0 with no model."""
+    from waveunet_tpu.data.pipeline import EmptyShardError
+    from waveunet_tpu.parallel import distributed as D
+    from waveunet_tpu.train.loop import _pod_host_evaluate
+
+    cfg = _cfg(tmp_path, batch_size=2)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+
+    assert issubclass(EmptyShardError, ValueError)
+
+    def empty(*a, **k):
+        raise EmptyShardError("no songs for this host")
+
+    monkeypatch.setattr(D, "make_pod_pipeline", empty)
+    assert _pod_host_evaluate(cfg, params, {}, "valid",
+                              in_len, out_len) == (0.0, 0)
+
+    def boom(*a, **k):
+        raise ValueError("batch_size must divide evenly across hosts")
+
+    monkeypatch.setattr(D, "make_pod_pipeline", boom)
+    with pytest.raises(ValueError, match="divide evenly"):
+        _pod_host_evaluate(cfg, params, {}, "valid", in_len, out_len)

@@ -358,3 +358,30 @@ def test_optimise_scanned_vs_loop(tmp_path):
                                             max_epochs_per_round=1)
         assert np.isfinite(test_loss)
         assert best and os.path.exists(best)
+
+
+def test_after_saves_ordering(tmp_path):
+    """after_saves side effects observe a fully-written checkpoint: the
+    best.txt marker must never name a step dir whose background orbax write
+    is still in flight (a concurrent `checkpoint=best` reader would resolve
+    a dangling path)."""
+    base = str(tmp_path / "ck")
+    state = {"w": np.arange(6, dtype=np.float32)}
+    observed = {}
+
+    # inline when nothing is pending
+    ckpt.after_saves(lambda: observed.setdefault("inline", True))
+    assert observed == {"inline": True}
+
+    path = ckpt.save_checkpoint_async(base, "exp", 1, state)
+
+    def marker():
+        # runs in the writer thread strictly after the step-1 write landed
+        observed["dir_existed"] = os.path.isdir(path)
+        with open(os.path.join(base, "exp", "best.txt"), "w") as f:
+            f.write(path + "\n")
+
+    ckpt.after_saves(marker)
+    ckpt.wait_for_saves()
+    assert observed["dir_existed"] is True
+    assert open(os.path.join(base, "exp", "best.txt")).read().strip() == path

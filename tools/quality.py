@@ -37,7 +37,6 @@ import argparse
 import json
 import os
 import shutil
-import subprocess
 import sys
 import time
 
@@ -47,18 +46,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_streamed(cmd, t0):
-    print("+ " + " ".join(cmd), flush=True)
-    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True, cwd=REPO)
-    tail = []
-    for line in proc.stdout:
-        print(f"[{time.time() - t0:8.1f}s] {line}", end="", flush=True)
-        tail.append(line)
-        tail = tail[-200:]
-    rc = proc.wait()
-    if rc != 0:
-        raise RuntimeError(f"{cmd[2]} failed rc={rc}")
-    return "".join(tail)
+    import soak
+    soak.run_streamed(cmd, t0)
 
 
 def mixture_baseline(cfg, db: str, results_dir: str):

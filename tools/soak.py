@@ -37,6 +37,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def run_streamed(cmd, t0=None, check=True) -> int:
+    """Run ``cmd`` echoing every output line with an elapsed-seconds prefix
+    (shared by the soak and quality harnesses). Raises on a non-zero exit
+    when ``check``; returns the exit code otherwise."""
+    print("+ " + " ".join(cmd), flush=True)
+    t0 = time.time() if t0 is None else t0
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, cwd=REPO)
+    for line in proc.stdout:
+        print(f"[{time.time() - t0:8.1f}s] {line}", end="", flush=True)
+    rc = proc.wait()
+    if check and rc != 0:
+        raise RuntimeError(f"{' '.join(cmd[:4])} ... failed rc={rc}")
+    return rc
+
+
 def synth_song(rng, seconds: int, sr: int):
     """Musical-ish stereo stems: vocals = harmonic tone with vibrato +
     envelope, accompaniment = chord pad + filtered noise. Enough structure
@@ -173,13 +189,8 @@ def main() -> int:
            f"max_epochs={args.max_epochs}",
            "experiment_id=soak",
            ] + list(args.extra)
-    print("+ " + " ".join(cmd), flush=True)
     t0 = time.time()
-    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True, cwd=REPO)
-    for line in proc.stdout:
-        print(f"[{time.time() - t0:8.1f}s] {line}", end="", flush=True)
-    rc = proc.wait()
+    rc = run_streamed(cmd, t0, check=False)
     print(f"soak finished rc={rc} in {time.time() - t0:.1f}s")
     return rc
 

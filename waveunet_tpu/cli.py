@@ -328,14 +328,18 @@ def _resolve_best_checkpoint(cfg, experiment_id):
         return read_marker(experiment_id)
     if not os.path.isdir(cfg.model_base_dir):
         return None
-    best, best_mtime = None, -1.0
+    # Pick the NEWEST marker by mtime, then resolve it. If the newest
+    # experiment's best checkpoint is gone, that is an error (None -> the
+    # caller exits loudly) — silently falling back to an OLDER experiment's
+    # model would score the wrong weights without a word.
+    newest, newest_mtime = None, -1.0
     for exp in os.listdir(cfg.model_base_dir):
         marker = os.path.join(cfg.model_base_dir, exp, "best.txt")
         if os.path.isfile(marker):
             mtime = os.path.getmtime(marker)
-            if mtime > best_mtime and read_marker(exp) is not None:
-                best, best_mtime = read_marker(exp), mtime
-    return best
+            if mtime > newest_mtime:
+                newest, newest_mtime = exp, mtime
+    return read_marker(newest) if newest is not None else None
 
 
 def cmd_predict(args):

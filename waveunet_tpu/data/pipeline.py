@@ -26,6 +26,13 @@ from waveunet_tpu.config import Config
 from waveunet_tpu.data import cache, sampler
 
 
+class EmptyShardError(ValueError):
+    """This host's (host_id, num_hosts) song slice is empty — fewer cached
+    songs than pod processes. Distinct from plain ValueError so pod callers
+    can treat ONLY this case as a legitimate weight-0 shard while real
+    configuration errors still raise."""
+
+
 class BatchPipeline:
     def __init__(self, cfg: Config, partition: str, input_len: int,
                  output_len: int, batch_size: Optional[int] = None,
@@ -46,7 +53,7 @@ class BatchPipeline:
                 f"{cache.partition_dir(cfg, partition)}; run prepare_dataset()")
         self.paths = paths[host_id::num_hosts]
         if not self.paths:
-            raise ValueError(
+            raise EmptyShardError(
                 f"host {host_id}/{num_hosts} got an empty song slice "
                 f"({len(paths)} cached songs < num_hosts); an empty slice "
                 f"would deadlock the pod at the first collective")

@@ -105,14 +105,25 @@ def make_pod_eval_bank(cfg: Config, partition: str, input_len: int,
                        output_len: int, batch_size: Optional[int] = None):
     """Per-host device-resident eval bank: this host's disjoint song subset
     (1/num_hosts of the partition per HBM, mirroring :func:`make_pod_bank`);
-    combine each host's ``loss_sums`` with :func:`pod_weighted_mean`."""
+    combine each host's ``loss_sums`` with :func:`pod_weighted_mean`.
+
+    The default batch is the per-host share of the global batch (as in
+    :func:`make_pod_bank`): the sweep runs on LOCAL devices only, so a
+    global-batch sweep would put ``process_count``x the training step's
+    per-device activation memory on each chip — validation must never OOM
+    a configuration whose training step fits."""
     from waveunet_tpu.data.device_cache import EvalBank
 
+    n_proc = jax.process_count()
+    global_batch = batch_size or cfg.batch_size
+    per_host_batch = global_batch // n_proc
+    if per_host_batch * n_proc != global_batch:
+        raise ValueError("batch_size must divide evenly across hosts")
     return EvalBank(cfg, partition, input_len, output_len,
-                    batch_size=batch_size or cfg.batch_size,
+                    batch_size=per_host_batch,
                     max_bytes=cfg.device_data_max_bytes,
                     host_id=jax.process_index(),
-                    num_hosts=jax.process_count())
+                    num_hosts=n_proc)
 
 
 def replicated_local_view(tree):
@@ -141,9 +152,16 @@ def pod_weighted_mean(local_sum: float, local_count: int) -> float:
     early-stop decisions stay SPMD-consistent."""
     from jax.experimental import multihost_utils
 
-    arr = multihost_utils.process_allgather(
-        np.asarray([local_sum, local_count], np.float32))
-    arr = np.asarray(arr, np.float64).reshape(-1, 2)
+    # Wire the f64 (sum, count) pair as its uint32 bit pattern: EvalBank
+    # deliberately accumulates loss sums in float64, and allgathering
+    # float64 directly would silently downcast to f32 under jax's default
+    # x64-disabled mode (thousands of batches -> ~1e-4 relative rounding
+    # noise in the validation mean that can flip adjacent-epoch early-stop
+    # comparisons).
+    payload = np.asarray([local_sum, local_count],
+                         np.float64).view(np.uint32)
+    arr = np.asarray(multihost_utils.process_allgather(payload))
+    arr = arr.reshape(-1, 4).view(np.float64).reshape(-1, 2)
     total, count = arr[:, 0].sum(), arr[:, 1].sum()
     if count == 0:
         print("WARNING: evaluation produced no batches; returning inf")

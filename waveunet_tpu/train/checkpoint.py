@@ -96,6 +96,20 @@ def wait_for_saves() -> None:
         _pending.pop(0).result()
 
 
+def after_saves(fn) -> None:
+    """Run ``fn()`` strictly AFTER every currently-pending background write
+    has landed, without blocking the caller (the single writer thread
+    executes queued work in order). Use for side effects that must observe a
+    fully-written checkpoint — e.g. a best-model marker file must never name
+    a step directory whose orbax write is still in flight, or a concurrent
+    ``checkpoint=best`` reader sees a dangling path. Runs inline when no
+    write is pending."""
+    if _save_pool is None or not _pending:
+        fn()
+    else:
+        _pending.append(_save_pool.submit(fn))
+
+
 def restore_checkpoint(path: str, like: Optional[Any] = None):
     """Restore a state pytree from an exact checkpoint path."""
     path = os.path.abspath(path)

@@ -14,6 +14,7 @@ Pure-Python control flow around jitted steps, mirroring the reference driver:
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from dataclasses import dataclass
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from waveunet_tpu.config import Config
-from waveunet_tpu.data.pipeline import BatchPipeline
+from waveunet_tpu.data.pipeline import BatchPipeline, EmptyShardError
 from waveunet_tpu.models.waveunet import init_waveunet, num_params
 from waveunet_tpu.ops import shapes
 from waveunet_tpu.train import checkpoint as ckpt
@@ -170,6 +171,14 @@ def evaluate(cfg: Config, params, model_state, eval_step,
     return total
 
 
+@functools.lru_cache(maxsize=4)
+def _local_eval_step(cfg: Config):
+    """One LOCAL (mesh-free) jitted eval step per config: pod host-shard
+    validation runs every epoch and must not re-trace the full eval graph
+    each time (a fresh ``jax.jit`` object has an empty cache)."""
+    return make_eval_step(cfg)
+
+
 def _pod_host_evaluate(cfg: Config, params, model_state, partition: str,
                        in_len: int, out_len: int):
     """Host-sharded host-fed eval fallback: this process streams ONLY its
@@ -187,10 +196,11 @@ def _pod_host_evaluate(cfg: Config, params, model_state, partition: str,
     try:
         pipe = D.make_pod_pipeline(cfg, partition, in_len, out_len,
                                    seed=cfg.seed)
-    except ValueError as e:  # empty host shard: weight-0 contribution
+    except EmptyShardError as e:  # weight-0 contribution; anything else
+        #                           (missing cache, bad batch split) raises
         print(f"[pod {_jax.process_index()}] empty {partition} shard ({e})")
         return 0.0, 0
-    eval_step = make_eval_step(cfg)
+    eval_step = _local_eval_step(cfg)
     total, n = 0.0, 0
     for batch in pipe.eval_batches():
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -261,7 +271,8 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
     local_eval_mesh = None
     if pod:
         local = jax.local_devices()
-        if len(local) > 1 and cfg.batch_size % len(local) == 0:
+        # eval banks sweep the PER-HOST batch share (make_pod_eval_bank)
+        if len(local) > 1 and (cfg.batch_size // n_proc) % len(local) == 0:
             from waveunet_tpu.parallel.mesh import make_mesh
             local_eval_mesh = make_mesh(devices=local)
     for rnd, rcfg in enumerate(round_cfgs):
@@ -453,11 +464,18 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
                 print(f"Validation improved {best_loss} -> {curr}")
                 best_loss, best_path, worse = curr, path, 0
                 if is_main:
-                    # marker for CLI/users: the current best checkpoint
-                    with open(os.path.join(cfg.model_base_dir,
-                                           str(experiment_id), "best.txt"),
-                              "w") as f:
-                        f.write(path + "\n")
+                    # marker for CLI/users: the current best checkpoint.
+                    # Deferred behind any in-flight background write so a
+                    # concurrent `checkpoint=best` reader never resolves a
+                    # step dir orbax hasn't finished renaming into place.
+                    marker = os.path.join(cfg.model_base_dir,
+                                          str(experiment_id), "best.txt")
+
+                    def _write_marker(marker=marker, path=path):
+                        with open(marker, "w") as f:
+                            f.write(path + "\n")
+
+                    ckpt.after_saves(_write_marker)
             else:
                 worse += 1
                 print(f"Validation worsened to {curr}")
