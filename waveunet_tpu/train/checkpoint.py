@@ -44,10 +44,13 @@ def save_checkpoint(base_dir: str, experiment_id: str, step: int, state) -> str:
 
 # -- background checkpoint writes (single-process only) ----------------------
 # Measured on the tunnel-attached v5e (round 4): the per-epoch orbax save
-# costs 4-10 s against a 16.6 s scanned train epoch — and only the D2H fetch
-# of the state (donation-unsafe to defer: the next epoch's step CONSUMES the
-# device buffers) has to sit on the critical path. The disk-side work
-# (orbax tmp-dir write + atomic rename + retention prune) runs here in one
+# costs 4-10 s against a 16.6 s scanned train epoch. Donation makes the state
+# fetch time-critical: the next epoch's step CONSUMES the device buffers, so
+# the bytes must leave them before it runs. Instead of a blocking host fetch,
+# an on-device SNAPSHOT (one jitted tree-copy program, ~ms to dispatch,
+# executed in device order before any later donated step touches the
+# buffers) decouples the state from donation; the D2H fetch, the orbax
+# tmp-dir write + atomic rename, and the retention prune all run in one
 # background worker while the next epoch trains. Pods keep the synchronous
 # collective save: orbax save() barriers across processes, and driving that
 # barrier from a side thread while the main thread issues training
@@ -55,30 +58,54 @@ def save_checkpoint(base_dir: str, experiment_id: str, step: int, state) -> str:
 
 _save_pool = None
 _pending: list = []
+_MAX_IN_FLIGHT = 2  # bounds host+HBM copies of the state and error latency
+
+
+@jax.jit
+def _copy_leaves(xs):
+    import jax.numpy as jnp
+    return [jnp.copy(x) for x in xs]
+
+
+def _device_snapshot(state):
+    """One-dispatch on-device copy of every jax.Array leaf (non-jax leaves
+    pass through). jit without donation guarantees the outputs are FRESH
+    buffers — the snapshot survives the next train step's donation."""
+    leaves, treedef = jax.tree.flatten(state)
+    dev_idx = [i for i, x in enumerate(leaves) if isinstance(x, jax.Array)]
+    if not dev_idx:
+        return state
+    copies = _copy_leaves([leaves[i] for i in dev_idx])
+    for i, c in zip(dev_idx, copies):
+        leaves[i] = c
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def save_checkpoint_async(base_dir: str, experiment_id: str, step: int,
                           state, prune_keep: int = 0, protect=()) -> str:
-    """Fetch ``state`` to host NOW (cheap to donation-safety: completes before
-    the caller dispatches the next donated step), then write the checkpoint —
-    and apply the retention policy — in a background thread. Returns the
-    final path immediately; ``wait_for_saves()`` joins + re-raises write
-    errors and MUST run before restoring any path this returned."""
+    """Snapshot ``state`` on-device NOW (donation-safe: the copy program
+    executes before the caller's next donated step reuses the buffers), then
+    fetch + write the checkpoint — and apply the retention policy — in a
+    background thread. Returns the final path immediately;
+    ``wait_for_saves()`` joins + re-raises write errors and MUST run before
+    restoring any path this returned. At most ``_MAX_IN_FLIGHT`` writes are
+    outstanding (the single worker keeps step dirs appearing in order)."""
     from concurrent.futures import ThreadPoolExecutor
 
     global _save_pool
     path = os.path.abspath(os.path.join(base_dir, str(experiment_id),
                                         f"step_{step:010d}"))
-    host_state = jax.device_get(state)
-    # Depth-1 overlap: the previous epoch's write must land before this one
-    # starts, so step dirs appear in order and a write error surfaces within
-    # one epoch. Also re-raises any earlier failure.
-    wait_for_saves()
+    snap = _device_snapshot(state)
+    # Bounded overlap: re-raises earlier write failures within two epochs and
+    # caps snapshot HBM + host state copies.
+    while len(_pending) >= _MAX_IN_FLIGHT:
+        _pending.pop(0).result()
     if _save_pool is None:
         _save_pool = ThreadPoolExecutor(max_workers=1,
                                         thread_name_prefix="ckpt-write")
 
     def _write():
+        host_state = jax.device_get(snap)
         _ckptr().save(path, host_state, force=True)
         if prune_keep > 0:
             prune_checkpoints(base_dir, experiment_id, prune_keep,

@@ -408,10 +408,11 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
             # EVERY process calls the orbax save: it is a collective (orbax
             # runs sync_global_processes barriers inside save()); only the
             # primary host actually writes bytes. A process-0-only call
-            # deadlocks the pod on the first checkpoint. Single process, the
-            # disk write + prune run in a background thread — only the
-            # donation-unsafe-to-defer D2H fetch stays on the critical path
-            # (measured round 4: 4-10 s orbax write vs 16.6 s train epoch).
+            # deadlocks the pod on the first checkpoint. Single process, an
+            # on-device snapshot decouples the state from donation and the
+            # D2H fetch + disk write + prune all run in a background thread
+            # — the critical path is one copy-program dispatch
+            # (checkpoint.py; measured round 4, DESIGN.md §2).
             t_train = time.time()
             if pod:
                 path = ckpt.save_checkpoint(cfg.model_base_dir, experiment_id,
