@@ -298,3 +298,23 @@ def test_checkpoint_best_dangling_newest_is_error(cli_env, tmp_path):
                  + [f"input_path={mix}", "checkpoint=best",
                     f"model_base_dir={base}", f"output_path={tmp_path}"])
     assert e.value.code == 2
+
+
+def test_figures_cli(cli_env, tmp_path, capsys):
+    """`cli figures` renders the reference Plot.py surfaces: SDR violin from
+    an eval-results dir and a spectrogram from an audio file."""
+    cli.main(["evaluate", "baseline"] + cli_env["args"]
+             + [f"checkpoint={cli_env['best']}", "subset=test",
+                f"output_path={tmp_path}", "max_tracks=1"])
+    mix = str(cli_env["root"] / "db" / "test" / "songC" / "mixture.wav")
+    violin = tmp_path / "sdr.png"
+    cli.main(["figures", f"results_dir={tmp_path / 'test'}",
+              f"output_path={violin}", f"input_path={mix}"])
+    out = capsys.readouterr().out
+    assert violin.exists() and violin.stat().st_size > 0
+    spec = mix.rsplit(".", 1)[0] + "_spec.png"
+    assert os.path.exists(spec) and "figure written" in out
+
+    with pytest.raises(SystemExit) as e:
+        cli.main(["figures"])
+    assert e.value.code == 2

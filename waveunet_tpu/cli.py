@@ -11,6 +11,7 @@ subcommands sharing the same preset + override grammar:
       [subset=test] [output_path=dir]
   python -m waveunet_tpu.cli prepare-data full_44KHz   # MUSDB -> npz cache
   python -m waveunet_tpu.cli presets                   # list named configs
+  python -m waveunet_tpu.cli figures results_dir=<dir> # SDR violin / spectrogram
 
 Any command accepts ``platform=cpu|tpu|...`` to pin the jax backend
 in-process (reliable even where an accelerator plugin ignores
@@ -64,7 +65,7 @@ def _split_args(args: List[str]) -> Tuple[List[str], Dict[str, str]]:
                 "experiment_id", "max_epochs", "win_s", "max_tracks",
                 "final_eval", "tpu_bss", "chunk_ms", "batch_windows",
                 "max_song_s", "coordinator", "num_processes", "process_id",
-                "random_init"}
+                "random_init", "results_dir"}
     cfg_frags, opts = [], {}
     for a in args:
         if "=" in a:
@@ -540,6 +541,30 @@ def cmd_convert_checkpoint(args):
     print(f"converted checkpoint written to {path}")
 
 
+def cmd_figures(args):
+    """Paper figures (`/root/reference/Plot.py`):
+    figures results_dir=<eval JSON dir> [output_path=out.pdf]  -> SDR violin
+    figures input_path=<audio file> [output_path=out.png]      -> spectrogram
+    """
+    _, opts = _split_args(args)
+    wrote = []
+    if "results_dir" in opts:
+        from waveunet_tpu.eval.plot import draw_violin_sdr
+        wrote.append(draw_violin_sdr(
+            opts["results_dir"],
+            out_path=opts.get("output_path", "sdr_violin.pdf")))
+    if "input_path" in opts:
+        from waveunet_tpu.eval.plot import draw_spectrogram
+        out = opts.get("output_path") if "results_dir" not in opts else None
+        wrote.append(draw_spectrogram(opts["input_path"], out_path=out))
+    if not wrote:
+        print("figures requires results_dir=<eval JSON dir> (SDR violin) "
+              "and/or input_path=<audio file> (spectrogram)", file=sys.stderr)
+        sys.exit(2)
+    for p in wrote:
+        print(f"figure written to {p}")
+
+
 _COMMANDS = {
     "train": cmd_train,
     "warmup": cmd_warmup,
@@ -550,6 +575,7 @@ _COMMANDS = {
     "prepare-data": cmd_prepare_data,
     "presets": cmd_presets,
     "profile": cmd_profile,
+    "figures": cmd_figures,
 }
 
 
