@@ -318,3 +318,11 @@ def test_figures_cli(cli_env, tmp_path, capsys):
     with pytest.raises(SystemExit) as e:
         cli.main(["figures"])
     assert e.value.code == 2
+
+    # Typo'd/unknown key=value fragments must error, not be silently dropped
+    # (outputpath= instead of output_path= would otherwise write to the
+    # default location with exit 0).
+    with pytest.raises(SystemExit) as e:
+        cli.main(["figures", f"results_dir={tmp_path / 'test'}",
+                  f"outputpath={violin}"])
+    assert e.value.code == 2

@@ -546,7 +546,11 @@ def cmd_figures(args):
     figures results_dir=<eval JSON dir> [output_path=out.pdf]  -> SDR violin
     figures input_path=<audio file> [output_path=out.png]      -> spectrogram
     """
-    _, opts = _split_args(args)
+    cfg_frags, opts = _split_args(args)
+    if cfg_frags:
+        print(f"figures: unknown arguments {cfg_frags} (takes results_dir=, "
+              "input_path=, output_path=)", file=sys.stderr)
+        sys.exit(2)
     wrote = []
     if "results_dir" in opts:
         from waveunet_tpu.eval.plot import draw_violin_sdr
@@ -554,6 +558,7 @@ def cmd_figures(args):
             opts["results_dir"],
             out_path=opts.get("output_path", "sdr_violin.pdf")))
     if "input_path" in opts:
+        _setup_jax()  # draw_spectrogram dispatches an STFT
         from waveunet_tpu.eval.plot import draw_spectrogram
         out = opts.get("output_path") if "results_dir" not in opts else None
         wrote.append(draw_spectrogram(opts["input_path"], out_path=out))

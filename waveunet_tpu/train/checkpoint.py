@@ -95,11 +95,14 @@ def save_checkpoint_async(base_dir: str, experiment_id: str, step: int,
     global _save_pool
     path = os.path.abspath(os.path.join(base_dir, str(experiment_id),
                                         f"step_{step:010d}"))
-    snap = _device_snapshot(state)
     # Bounded overlap: re-raises earlier write failures within two epochs and
-    # caps snapshot HBM + host state copies.
+    # caps snapshot HBM + host state copies. The wait must precede the
+    # snapshot dispatch (nothing donating runs in between, so this is equally
+    # donation-safe) or a slow writer transiently holds _MAX_IN_FLIGHT+1
+    # snapshots in HBM.
     while len(_pending) >= _MAX_IN_FLIGHT:
         _pending.pop(0).result()
+    snap = _device_snapshot(state)
     if _save_pool is None:
         _save_pool = ThreadPoolExecutor(max_workers=1,
                                         thread_name_prefix="ckpt-write")
