@@ -56,6 +56,33 @@ def main():
         }), flush=True)
         os._exit(4)
 
+    # Second failure mode observed on this host: init succeeds, then the
+    # tunnel degrades MID-RUN and a dispatch/value-fetch hangs indefinitely
+    # (a trivial matmul has been seen hanging >120 s minutes after a clean
+    # full separation). Guard the whole bench with a wall-clock deadline
+    # that reports the phase it stalled in plus any tunnel-independent
+    # partials already measured, instead of hanging until the caller's
+    # timeout records nothing.
+    phase = {"name": "backend-init"}
+    partial: dict = {}
+    done = threading.Event()
+
+    def _deadline_watchdog():
+        if done.wait(timeout=float(os.environ.get("BENCH_DEADLINE_S", 1500))):
+            return
+        print(json.dumps({
+            "metric": "audio_seconds_separated_per_sec_per_chip",
+            "value": None,
+            "unit": "audio-s/s/chip (RTF, full_44KHz separation)",
+            "error": f"bench stalled in phase '{phase['name']}' past the "
+                     "wall deadline (axon tunnel degraded mid-run; see "
+                     "CLAUDE.md outage notes)",
+            **partial,
+        }), flush=True)
+        os._exit(5)
+
+    threading.Thread(target=_deadline_watchdog, daemon=True).start()
+
     import jax.numpy as jnp
 
     from waveunet_tpu.config import get_config
@@ -84,6 +111,7 @@ def main():
 
     sep = Separator(cfg, params)
     # Warm-up on the full song (compiles the same length bucket).
+    phase["name"] = "engine-warmup"
     sep.separate(song, sr)
 
     # Live compute roof: the bare jitted forward on device-resident windows,
@@ -97,6 +125,7 @@ def main():
     fwd = jax.jit(lambda p, x: sum(
         jnp.sum(v) for v in apply_waveunet(p, cfg, x, training=False
                                            ).values()))
+    phase["name"] = "compute-roof"
     win_in, win_out = shapes.get_padding(cfg, cfg.infer_num_frames)
     x = jax.device_put(jnp.asarray(rng.standard_normal(
         (cfg.infer_batch, win_in, 2)).astype(np.float32)))
@@ -110,6 +139,7 @@ def main():
         dt = (time.perf_counter() - t0) / K
         roof_best = dt if roof_best is None else min(roof_best, dt)
     roof = cfg.infer_batch * win_out / sr / roof_best
+    partial["compute_roof_audio_s_per_s"] = round(roof, 1)
 
     # Tunnel-independent ENGINE headline (round-3 judge ask): the FULL engine
     # path — on-device framing, every window of the 60 s song through the
@@ -122,6 +152,7 @@ def main():
     # (unlike `value`, a tunnel sample by construction; unlike the roof,
     # which times the bare forward only). Parity with the host-stitched
     # path is pinned by tests/test_infer.py::test_resident_sweep_*.
+    phase["name"] = "engine-resident-sweep"
     from waveunet_tpu.runtime import native
     res_fn, _ = sep.resident_sweep(n)
     res_song = jax.device_put(jnp.asarray(native.quantize_int16(
@@ -138,6 +169,7 @@ def main():
         dt = (time.perf_counter() - t0) / K
         res_best = dt if res_best is None else min(res_best, dt)
     engine_resident = seconds / res_best
+    partial["engine_device_resident_audio_s_per_s"] = round(engine_resident, 1)
 
     # Reference-style serial baseline: batch-1 jitted forward, one dispatch per
     # window with host round-trip each step (Evaluate.py's pattern), on a 15 s
@@ -149,6 +181,7 @@ def main():
     padded = np.pad(song[:bn], [(pad, pad), (0, 0)])
     positions = [min(p0, bn - out_len) for p0 in range(0, bn, out_len)]
     # warm-up
+    phase["name"] = "serial-baseline-warmup"
     jax.device_get(fwd1(params, jnp.asarray(padded[0:in_len][None])))
 
     def _timed_serial():
@@ -172,6 +205,7 @@ def main():
     # slow links still terminate promptly.
     REPS_MIN, REPS_MAX = 14, 40
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 240))
+    phase["name"] = "interleaved-reps"
     engine_times, serial_times = [], []
     t_start = time.perf_counter()
     while len(engine_times) < REPS_MAX and (
@@ -215,6 +249,7 @@ def main():
         "compute_roof_audio_s_per_s": round(roof, 1),
         "engine_device_resident_audio_s_per_s": round(engine_resident, 1),
     }))
+    done.set()
 
 
 if __name__ == "__main__":
