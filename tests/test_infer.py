@@ -303,8 +303,13 @@ def test_stitching_matches_serial_all_families(rng, preset, kw):
                                        err_msg=f"{preset} n={n} {s}")
 
 
-@pytest.mark.parametrize("wire", ["float32", "int16"])
-def test_resident_sweep_matches_host_stitch(rng, wire):
+@pytest.mark.parametrize("wire,n_win", [
+    ("float32", 13), ("int16", 13),
+    # tail-only schedule: fewer windows than one device batch — the regime
+    # the bench's big-window resident headline runs in (11 windows @ B16)
+    ("int16", 3),
+])
+def test_resident_sweep_matches_host_stitch(rng, wire, n_win):
     """The single-program device-resident sweep (bench.py's
     tunnel-independent engine headline path) produces the production
     host-stitched output: same chunk schedule, same wire round-trip, same
@@ -318,8 +323,9 @@ def test_resident_sweep_matches_host_stitch(rng, wire):
 
     sep = Separator(cfg, params)
     pad = (in_len - out_len) // 2
-    # 13 windows: two full batches + the 4+1 split tail, right-aligned last
-    n = out_len * 12 + 31
+    # 13 windows: two full batches + the 4+1 split tail, right-aligned last;
+    # 3 windows: no full batch, pure 2+1 pow2 tail
+    n = out_len * (n_win - 1) + 31
     audio = (0.1 * rng.standard_normal((n, 1))).astype(np.float32)
     host = sep.separate(audio, cfg.expected_sr)
 
@@ -328,7 +334,7 @@ def test_resident_sweep_matches_host_stitch(rng, wire):
         from waveunet_tpu.runtime import native
         padded = native.quantize_int16(padded)
     fn, positions = sep.resident_sweep(n)
-    assert positions.shape[0] == 13
+    assert positions.shape[0] == n_win
     out, checksum = fn(params, jnp.asarray(padded))
     assert np.isfinite(float(checksum))
     for s in cfg.source_names:

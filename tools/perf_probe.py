@@ -9,6 +9,7 @@ block_until_ready on device-resident inputs so the tunnel is excluded).
 Usage:
   python tools/perf_probe.py roof  <num_frames> <batch> <fp32|bf16> [out.jsonl]
   python tools/perf_probe.py e2e   <num_frames> <batch> <fp32|bf16> [out.jsonl]
+  python tools/perf_probe.py resident <num_frames> <batch> <fp32|bf16> [out.jsonl]
   python tools/perf_probe.py train <num_frames> <batch> <fp32|bf16> [out.jsonl]
   python tools/perf_probe.py scan  <num_frames> <batch> <fp32|bf16> [out.jsonl]
   python tools/perf_probe.py podscan <num_frames> <batch> <fp32|bf16> [out.jsonl]
@@ -115,6 +116,46 @@ def main():
         best = min(times)
         rec["e2e_s"] = round(best, 4)
         rec["rtf"] = round(seconds / best, 1)
+
+    elif mode == "resident":
+        # Tunnel-independent engine number at this (window, batch): the full
+        # resident sweep (bench.py's engine_device_resident path) on the
+        # 60 s bench song. Unlike e2e, the window choice here is NOT about
+        # H2D pipelining — bigger windows cut the valid-conv context overlap
+        # per audio-second, so the roof-optimal window should win.
+        from waveunet_tpu.infer.engine import Separator
+        from waveunet_tpu.runtime import native
+        icfg = cfg.replace(infer_num_frames=frames, infer_batch=batch,
+                           infer_wire_dtype="int16")
+        sep = Separator(icfg, params)
+        seconds = 60.0
+        n = int(seconds * sr)
+        rng = np.random.default_rng(0)
+        t = np.arange(n) / sr
+        song = (0.3 * np.sin(2 * np.pi * 440 * t)
+                + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        song = np.stack([song, song], axis=1)
+        res_fn, positions = sep.resident_sweep(n)
+        song_dev = jax.device_put(jnp.asarray(native.quantize_int16(
+            np.pad(song, [(sep.pad, sep.pad), (0, 0)]))))
+        t0 = time.perf_counter()
+        _, cs = res_fn(params, song_dev)
+        float(cs)
+        rec["first_call_s"] = round(time.perf_counter() - t0, 3)
+        rec["n_windows"] = int(positions.shape[0])
+        rec["sweep_in_len"] = sep.in_len
+        rec["sweep_out_len"] = sep.out_len
+        K = 4
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                _, cs = res_fn(params, song_dev)
+            float(cs)  # value fetch = real sync (in-order device execution)
+            dt = (time.perf_counter() - t0) / K
+            best = dt if best is None else min(best, dt)
+        rec["sweep_s"] = round(best, 4)
+        rec["audio_s_per_s"] = round(seconds / best, 1)
 
     elif mode == "train":
         from waveunet_tpu.train.step import make_train_step
