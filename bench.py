@@ -27,8 +27,12 @@ def _timed(sep, song, sr):
 
 def main():
     import os
+    import sys
 
     import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.benchutil import best_pipelined_s, make_bench_song
 
     # Persistent compile cache: repeated bench runs skip the 20-40 s XLA
     # compiles entirely.
@@ -63,12 +67,21 @@ def main():
     # that reports the phase it stalled in plus any tunnel-independent
     # partials already measured, instead of hanging until the caller's
     # timeout records nothing.
-    phase = {"name": "backend-init"}
+    # The watchdog starts after backend init succeeded, so the first label
+    # is model-init (param init IS a device dispatch and can hang too).
+    phase = {"name": "model-init"}
     partial: dict = {}
     done = threading.Event()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 240))
+    # The deadline must dominate every legitimate slow path: the rep budget
+    # itself, plus cold-cache compiles (~8-10 programs, 20-40+ s each through
+    # the remote compiler) and warmups. A fixed 1500 s would falsely kill a
+    # healthy run whenever BENCH_BUDGET_S is raised.
+    deadline_s = float(os.environ.get(
+        "BENCH_DEADLINE_S", max(1500.0, budget_s + 1260.0)))
 
     def _deadline_watchdog():
-        if done.wait(timeout=float(os.environ.get("BENCH_DEADLINE_S", 1500))):
+        if done.wait(timeout=deadline_s):
             return
         print(json.dumps({
             "metric": "audio_seconds_separated_per_sec_per_chip",
@@ -103,11 +116,7 @@ def main():
     seconds = 60.0
     sr = cfg.expected_sr
     n = int(seconds * sr)
-    rng = np.random.default_rng(0)
-    t = np.arange(n) / sr
-    song = (0.3 * np.sin(2 * np.pi * 440 * t)
-            + 0.1 * rng.standard_normal(n)).astype(np.float32)
-    song = np.stack([song, song], axis=1)
+    song = make_bench_song(sr, seconds)
 
     sep = Separator(cfg, params)
     # Warm-up on the full song (compiles the same length bucket).
@@ -127,17 +136,10 @@ def main():
                                            ).values()))
     phase["name"] = "compute-roof"
     win_in, win_out = shapes.get_padding(cfg, cfg.infer_num_frames)
-    x = jax.device_put(jnp.asarray(rng.standard_normal(
+    x = jax.device_put(jnp.asarray(np.random.default_rng(1).standard_normal(
         (cfg.infer_batch, win_in, 2)).astype(np.float32)))
     float(fwd(params, x))
-    K = 8
-    roof_best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        vals = [fwd(params, x) for _ in range(K)]
-        float(vals[-1])
-        dt = (time.perf_counter() - t0) / K
-        roof_best = dt if roof_best is None else min(roof_best, dt)
+    roof_best = best_pipelined_s(lambda: fwd(params, x), k=8)
     roof = cfg.infer_batch * win_out / sr / roof_best
     partial["compute_roof_audio_s_per_s"] = round(roof, 1)
 
@@ -159,15 +161,7 @@ def main():
         np.pad(song, [(sep.pad, sep.pad), (0, 0)]))))
     _, cs = res_fn(params, res_song)
     float(cs)  # warm-up / compile
-    K = 4
-    res_best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(K):
-            _, cs = res_fn(params, res_song)
-        float(cs)  # value fetch = real sync (in-order device execution)
-        dt = (time.perf_counter() - t0) / K
-        res_best = dt if res_best is None else min(res_best, dt)
+    res_best = best_pipelined_s(lambda: res_fn(params, res_song)[1], k=4)
     engine_resident = seconds / res_best
     partial["engine_device_resident_audio_s_per_s"] = round(engine_resident, 1)
 
@@ -204,7 +198,6 @@ def main():
     # timing wall-clock (cap REPS_MAX), so fast links buy more samples and
     # slow links still terminate promptly.
     REPS_MIN, REPS_MAX = 14, 40
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 240))
     phase["name"] = "interleaved-reps"
     engine_times, serial_times = [], []
     t_start = time.perf_counter()
@@ -229,6 +222,10 @@ def main():
     pair_ratios = sorted((seconds / e) / (base_seconds / s)
                          for e, s in zip(engine_times, serial_times))
 
+    # Disarm the watchdog BEFORE printing: a deadline firing between/within
+    # the success print and done.set() would emit a second, contradictory
+    # JSON line (os._exit from the daemon thread bypasses the stdout lock).
+    done.set()
     print(json.dumps({
         "metric": "audio_seconds_separated_per_sec_per_chip",
         "value": round(rtf, 3),
@@ -249,7 +246,6 @@ def main():
         "compute_roof_audio_s_per_s": round(roof, 1),
         "engine_device_resident_audio_s_per_s": round(engine_resident, 1),
     }))
-    done.set()
 
 
 if __name__ == "__main__":

@@ -326,3 +326,26 @@ def test_figures_cli(cli_env, tmp_path, capsys):
         cli.main(["figures", f"results_dir={tmp_path / 'test'}",
                   f"outputpath={violin}"])
     assert e.value.code == 2
+
+
+def test_train_checkpoint_auto_resumes_across_experiments(cli_env, tmp_path,
+                                                          capsys):
+    """`train checkpoint=auto` WITHOUT experiment_id must find the newest
+    checkpoint across all experiments (it used to look for step dirs
+    directly under model_base_dir — never a match — and silently start
+    fresh; whole-package review finding)."""
+    args = [a for a in cli_env["args"]
+            if not (a.startswith("model_base_dir=")
+                    or a.startswith("log_dir="))]
+    args += [f"model_base_dir={tmp_path / 'ckpts'}",
+             f"log_dir={tmp_path / 'logs'}"]
+    cli.main(["train", "baseline"] + args
+             + ["experiment_id=first", "max_epochs=1"])
+    capsys.readouterr()
+    cli.main(["train", "baseline"] + args
+             + ["checkpoint=auto", "max_epochs=1"])
+    out = capsys.readouterr().out
+    assert "auto-resume: " in out
+    assert "fresh start" not in out
+    assert os.path.join("ckpts", "first") in out.split(
+        "auto-resume: ", 1)[1].splitlines()[0]

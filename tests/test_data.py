@@ -445,3 +445,85 @@ def test_prepare_dataset_voice_appends_ccmixter(tmp_path):
         tracks = cache.load_song(p)
         assert {"mix", "vocals", "accompaniment"} <= set(tracks)
         assert tracks["mix"].shape[0] > 0
+
+
+def test_device_bank_stored_mix_when_augmentation_off(tmp_path):
+    """With augmentation OFF the bank must serve the STORED mixture (which
+    may be clipped / non-additive), not a re-sum of the sources — the host
+    pipeline and the reference (`Datasets.py:203-204` maps random_amplify
+    only when augmenting) both serve the record's mix (whole-package review
+    finding). The fixture's mix is deliberately 0.9 while the sources sum
+    to 0.8: a re-sum is detectable at every interior sample."""
+    import jax
+    from waveunet_tpu.data.device_cache import DeviceBank
+
+    cfg = get_config("baseline", data_path=str(tmp_path / "cache"),
+                     num_frames=1024, batch_size=4, augmentation=False)
+    n = 8192
+    d = tmp_path / "wavs"
+    d.mkdir()
+    samples = []
+    for i in range(2):
+        paths = {}
+        for name, val in (("vocals", 0.4), ("accompaniment", 0.4),
+                          ("mix", 0.9)):
+            p = str(d / f"s{i}_{name}.wav")
+            write_wav(p, np.full((n, 1), val, np.float32), cfg.expected_sr,
+                      subtype="FLOAT")
+            paths[name] = p
+        samples.append(paths)
+    cache.preprocess_partition(cfg, "train", samples, pad_frames=10)
+
+    bank = DeviceBank(cfg, "train", cfg.num_frames, cfg.num_frames,
+                      batch_size=4)
+    b = next(bank.batches(jax.random.PRNGKey(0)))
+    mix = np.asarray(b["mix"])
+    # every sample is either context-pad zero or the STORED 0.9 — a source
+    # re-sum would read 0.8 everywhere
+    assert np.all((np.abs(mix) < 1e-4) | (np.abs(mix - 0.9) < 1e-3)), (
+        mix.min(), mix.max())
+    assert np.any(np.abs(mix - 0.9) < 1e-3)
+    # sources still come through as targets
+    np.testing.assert_allclose(
+        np.asarray(b["vocals"])[np.abs(np.asarray(b["vocals"])) > 1e-4],
+        0.4, atol=1e-3)
+
+
+def test_device_bank_resynthesises_mix_when_augmenting(tmp_path):
+    """With augmentation ON (production default) the mix is the re-sum of
+    the ATTENUATED sources — the stored mixture must be ignored (and not
+    uploaded: the bank carries only source rows)."""
+    import jax
+    from waveunet_tpu.data.device_cache import DeviceBank
+
+    cfg = get_config("baseline", data_path=str(tmp_path / "cache"),
+                     num_frames=1024, batch_size=4, augmentation=True)
+    n = 8192
+    d = tmp_path / "wavs"
+    d.mkdir()
+    paths = {}
+    for name, val in (("vocals", 0.4), ("accompaniment", 0.4), ("mix", 0.9)):
+        p = str(d / f"s_{name}.wav")
+        write_wav(p, np.full((n, 1), val, np.float32), cfg.expected_sr,
+                  subtype="FLOAT")
+        paths[name] = p
+    cache.preprocess_partition(cfg, "train", [paths], pad_frames=0)
+
+    bank = DeviceBank(cfg, "train", cfg.num_frames, cfg.num_frames,
+                      batch_size=4)
+    assert bank._bank.shape[0] == cfg.num_sources  # no mix row uploaded
+    b = next(bank.batches(jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(
+        np.asarray(b["mix"]),
+        np.asarray(b["vocals"]) + np.asarray(b["accompaniment"]), atol=1e-4)
+
+
+def test_bank_int32_position_guard():
+    """Snippet positions are int32: a bank over 2^31-1 cumulative samples
+    must fail loudly at build (numpy 1.x would silently wrap the start
+    table negative and train on wrong windows)."""
+    from waveunet_tpu.data.device_cache import _check_int32_addressable
+
+    _check_int32_addressable(2 ** 31 - 1, "device bank")  # fits
+    with pytest.raises(ValueError, match="int32"):
+        _check_int32_addressable(2 ** 31, "device bank")

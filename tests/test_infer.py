@@ -306,7 +306,9 @@ def test_stitching_matches_serial_all_families(rng, preset, kw):
 @pytest.mark.parametrize("wire,n_win", [
     ("float32", 13), ("int16", 13),
     # tail-only schedule: fewer windows than one device batch — the regime
-    # the bench's big-window resident headline runs in (11 windows @ B16)
+    # the big-window resident-sweep probe points run in (11 windows @ B16
+    # at 262144; the bench headline itself is 41 windows @ B16 = two full
+    # batches + an 8+1 tail)
     ("int16", 3),
 ])
 def test_resident_sweep_matches_host_stitch(rng, wire, n_win):

@@ -493,3 +493,27 @@ def test_scanned_epoch_on_mesh_matches_single_device(tmp_path):
         np.testing.assert_allclose(np.asarray(p8[k]["kernel"]),
                                    np.asarray(p1[k]["kernel"]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_sharded_bank_stored_mix_when_augmentation_off(rng):
+    """The device-sharded pod bank follows the same augmentation-off
+    semantics as DeviceBank: the STORED (possibly non-additive) mixture row
+    is served, not a source re-sum (whole-package review finding)."""
+    _require_8()
+    from waveunet_tpu.data.device_cache import ShardedBank
+
+    cfg = get_config("baseline", num_layers=2, num_frames=256,
+                     num_initial_filters=4, batch_size=8,
+                     augmentation=False)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    tracks = _synthetic_tracks(cfg, 8, in_len, rng, constant=True)
+    for t in tracks:
+        t["mix"] = np.full_like(t["mix"], 0.9)  # != sum(sources)
+    mesh = make_mesh()
+    bank = ShardedBank.from_tracks(cfg, in_len, out_len, mesh, tracks,
+                                   batch_size=cfg.batch_size)
+    b = next(bank.batches(jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(np.asarray(b["mix"]), 0.9, atol=1e-3)
+    # sources are still the per-song constants, untouched by any augment
+    v = np.asarray(b["vocals"])
+    assert np.all(v > 0.0) and np.all(v < 0.2)

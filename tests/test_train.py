@@ -339,11 +339,16 @@ def test_chunked_scanned_epoch_matches_monolithic(tmp_path):
 
 
 def test_optimise_scanned_vs_loop(tmp_path):
-    """optimise() end-to-end with scan_epoch on and off: both train, both
-    produce finite losses and checkpoints."""
+    """optimise() end-to-end with scan_epoch on and off is the SAME training
+    run: the eager bank iterator folds its data key from the absolute step
+    (device_cache.DeviceBank.batches ``start=``), so the sample stream
+    matches the scanned epoch's fold_in(data_key, step) in round 2 as well —
+    a scan_epoch=0/1 toggle must not change what the model trains on
+    (whole-package review finding: the streams diverged after round 1)."""
     from tests.test_integration import _make_cache
     from waveunet_tpu.train import loop as loop_mod
 
+    results = {}
     for scan in (True, False):
         base = tmp_path / ("scan" if scan else "loop")
         cfg = get_config("baseline", num_layers=2, num_frames=256,
@@ -354,10 +359,40 @@ def test_optimise_scanned_vs_loop(tmp_path):
                          model_base_dir=str(base / "ckpt"),
                          log_dir=str(base / "logs"))
         _make_cache(base, cfg)
+        # 2 epochs/round so round 2 runs from a nonzero absolute step — the
+        # regime where a 0-based eager fold used to diverge from the scan
         best, test_loss = loop_mod.optimise(cfg, experiment_id="s",
-                                            max_epochs_per_round=1)
+                                            max_epochs_per_round=2)
         assert np.isfinite(test_loss)
         assert best and os.path.exists(best)
+        results[scan] = (os.path.basename(best), test_loss)
+    # identical sample + rng streams -> same best-checkpoint step and (up to
+    # scan-vs-eager compilation noise) the same test loss
+    assert results[True][0] == results[False][0]
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               rtol=1e-4)
+
+
+def test_bank_batches_start_matches_fold(tmp_path):
+    """batches(start=K) draws fold_in(key, K), K+1, ... — the alignment
+    contract the driver relies on for round-2/resume stream continuity."""
+    from tests.test_integration import _make_cache
+    from waveunet_tpu.data.device_cache import DeviceBank
+
+    cfg = get_config("baseline", num_layers=2, num_frames=256,
+                     num_initial_filters=4, batch_size=2,
+                     data_path=str(tmp_path / "cache"))
+    _make_cache(tmp_path, cfg)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    bank = DeviceBank(cfg, "train", in_len, out_len)
+    key = jax.random.PRNGKey(11)
+    it = bank.batches(key, start=5)
+    for i in (5, 6):
+        want = bank._sample(bank._bank, bank._starts, bank._valids,
+                            jax.random.fold_in(key, i))
+        got = next(it)
+        np.testing.assert_array_equal(np.asarray(got["mix"]),
+                                      np.asarray(want["mix"]))
 
 
 def test_after_saves_ordering(tmp_path):

@@ -42,6 +42,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
+    from tools.benchutil import best_pipelined_s, make_bench_song
     from waveunet_tpu.config import get_config
     from waveunet_tpu.models.waveunet import apply_waveunet, init_waveunet
     from waveunet_tpu.ops import shapes
@@ -81,14 +82,7 @@ def main():
         rec["forward_ms"] = round(best * 1e3, 3)
         # pipelined: K async dispatches, one final sync — amortises the
         # ~6-8 ms per-dispatch tunnel latency the engine also hides
-        K = 8
-        best_p = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            vals = [fwd(params, x) for _ in range(K)]
-            float(vals[-1])  # value fetch = real sync (in-order execution)
-            dt = (time.perf_counter() - t0) / K
-            best_p = dt if best_p is None else min(best_p, dt)
+        best_p = best_pipelined_s(lambda: fwd(params, x), k=8)
         rec["forward_pipelined_ms"] = round(best_p * 1e3, 3)
         rec["audio_s_per_s"] = round(batch * out_len / sr / best_p, 1)
         rec["context_overlap"] = round(in_len / out_len, 3)
@@ -99,12 +93,7 @@ def main():
                            infer_wire_dtype="int16")
         sep = Separator(icfg, params)
         seconds = 60.0
-        n = int(seconds * sr)
-        rng = np.random.default_rng(0)
-        t = np.arange(n) / sr
-        song = (0.3 * np.sin(2 * np.pi * 440 * t)
-                + 0.1 * rng.standard_normal(n)).astype(np.float32)
-        song = np.stack([song, song], axis=1)
+        song = make_bench_song(sr, seconds)
         t0 = time.perf_counter()
         sep.separate(song, sr)
         rec["first_call_s"] = round(time.perf_counter() - t0, 3)
@@ -130,11 +119,7 @@ def main():
         sep = Separator(icfg, params)
         seconds = 60.0
         n = int(seconds * sr)
-        rng = np.random.default_rng(0)
-        t = np.arange(n) / sr
-        song = (0.3 * np.sin(2 * np.pi * 440 * t)
-                + 0.1 * rng.standard_normal(n)).astype(np.float32)
-        song = np.stack([song, song], axis=1)
+        song = make_bench_song(sr, seconds)
         res_fn, positions = sep.resident_sweep(n)
         song_dev = jax.device_put(jnp.asarray(native.quantize_int16(
             np.pad(song, [(sep.pad, sep.pad), (0, 0)]))))
@@ -145,15 +130,7 @@ def main():
         rec["n_windows"] = int(positions.shape[0])
         rec["sweep_in_len"] = sep.in_len
         rec["sweep_out_len"] = sep.out_len
-        K = 4
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(K):
-                _, cs = res_fn(params, song_dev)
-            float(cs)  # value fetch = real sync (in-order device execution)
-            dt = (time.perf_counter() - t0) / K
-            best = dt if best is None else min(best, dt)
+        best = best_pipelined_s(lambda: res_fn(params, song_dev)[1], k=4)
         rec["sweep_s"] = round(best, 4)
         rec["audio_s_per_s"] = round(seconds / best, 1)
 

@@ -137,9 +137,11 @@ def cmd_train(args):
     max_ep = int(opts["max_epochs"]) if "max_epochs" in opts else None
     resume = opts.get("checkpoint")
     if resume == "auto":  # crash-resume from the newest checkpoint, if any
-        from waveunet_tpu.train.checkpoint import latest_checkpoint
-        resume = latest_checkpoint(cfg.model_base_dir,
-                                   opts.get("experiment_id", ""))
+        # Same resolution as predict/evaluate: without an experiment_id scan
+        # every experiment for the newest step dir (latest_checkpoint("")
+        # would look for step_* dirs directly under model_base_dir — never a
+        # match — and silently start fresh even when checkpoints exist).
+        resume = _resolve_auto_checkpoint(cfg, opts.get("experiment_id", ""))
         print(f"auto-resume: {resume or 'no checkpoint found, fresh start'}")
     path, test_loss = optimise(cfg, experiment_id=opts.get("experiment_id"),
                                mesh=mesh, resume_path=resume,

@@ -15,8 +15,14 @@ device and runs the reference's sampling semantics as a jitted program:
   * centre-crop of targets to the output window (`Utils.py:38-42`)
 
 A training step then needs ZERO host->device bytes (the PRNG key folds from the
-step index). Mix windows are gathered at input length; the mix is synthesised
-on device from the (augmented) sources, exactly like the reference's pipeline.
+step index). Mix windows are gathered at input length. With augmentation ON
+(the production default) the mix is synthesised on device from the attenuated
+sources, exactly like the reference's ``random_amplify`` (`Utils.py:35`); with
+augmentation OFF the STORED mixture track rides along as an extra bank row and
+is served directly — the reference pipeline maps ``random_amplify`` only when
+augmenting (`Datasets.py:203-204`) and otherwise serves the record's mix, which
+differs from a source re-sum whenever the dataset mixture is clipped or not
+exactly additive (the host ``BatchPipeline`` matches this; so must the bank).
 
 For data-parallel meshes the bank is replicated by default (it is read-only);
 at pod scale pass (host_id, num_hosts) and each host uploads only its own
@@ -36,33 +42,64 @@ from waveunet_tpu.config import Config
 from waveunet_tpu.data import cache
 
 
-def _gather_windows(bank, pos, num_sources: int, input_len: int):
-    """[batch, S, input_len, C] float32 windows at positions ``pos`` from a
-    concatenated [S, total, C] int16 bank."""
+def _gather_windows(bank, pos, n_rows: int, input_len: int):
+    """[batch, n_rows, input_len, C] float32 windows at positions ``pos``
+    from a concatenated [n_rows, total, C] int16 bank (rows = sources, plus
+    the stored mixture when the bank carries one)."""
     def gather(p):
         return jax.lax.dynamic_slice(
-            bank, (0, p, 0), (num_sources, input_len, bank.shape[2]))
+            bank, (0, p, 0), (n_rows, input_len, bank.shape[2]))
     return jax.vmap(gather)(pos).astype(jnp.float32) / 32767.0
 
 
 def _assemble_batch(cfg: Config, wins, k_amp, pad: int, output_len: int,
-                    do_augment: bool):
+                    do_augment: bool, stored_mix: bool = False):
     """Windows -> training batch: per-snippet source attenuation U(0.7, 1.0)
-    (`Utils.py:26-36`), mix re-synthesis, centre-crop of the targets
-    (`Utils.py:38-42`). ``wins`` is [batch, S, input_len, C] float32."""
-    if do_augment:
-        scale = jax.random.uniform(k_amp, (wins.shape[0], wins.shape[1], 1, 1),
-                                   minval=0.7, maxval=1.0)
-        wins = wins * scale
-    mix = jnp.sum(wins, axis=1)  # [batch, input_len, C]
+    (`Utils.py:26-36`) + mix re-synthesis when augmenting, the STORED mixture
+    row when not (module docstring), centre-crop of the targets
+    (`Utils.py:38-42`). ``wins`` is [batch, S(+1), input_len, C] float32 with
+    the mixture as the last row iff ``stored_mix``."""
+    if stored_mix:
+        assert not do_augment  # augmentation re-sums the mix by definition
+        mix = wins[:, -1]  # [batch, input_len, C]
+        wins = wins[:, :-1]
+    else:
+        if do_augment:
+            scale = jax.random.uniform(
+                k_amp, (wins.shape[0], wins.shape[1], 1, 1),
+                minval=0.7, maxval=1.0)
+            wins = wins * scale
+        mix = jnp.sum(wins, axis=1)  # [batch, input_len, C]
     targets = wins[:, :, pad:pad + output_len, :] if pad > 0 else wins
     out = {name: targets[:, i] for i, name in enumerate(cfg.source_names)}
     out["mix"] = mix
     return out
 
 
+def _bank_row_keys(cfg: Config) -> List[str]:
+    """Bank rows: the sources, plus the stored mixture when augmentation is
+    off (it is then served rather than re-synthesised — module docstring)."""
+    return list(cfg.source_names) + ([] if cfg.augmentation else ["mix"])
+
+
+_INT32_MAX = np.iinfo(np.int32).max
+
+
+def _check_int32_addressable(offset: int, what: str) -> None:
+    """Snippet positions are int32 (TPU-native index dtype): a bank whose
+    cumulative sample count exceeds 2^31-1 would silently wrap the position
+    table negative (numpy 1.x) or crash the build (numpy 2.x). The default
+    8 GiB budget admits exactly 2^31 mono 2-source samples, so this is
+    reachable; fail with direction instead."""
+    if offset > _INT32_MAX:
+        raise ValueError(
+            f"{what} spans {offset} samples, beyond int32 position "
+            f"addressing (2^31-1); shard the songs across more hosts/devices "
+            f"or lower device_data_max_bytes so the host pipeline takes over")
+
+
 def build_sampler(cfg: Config, input_len: int, output_len: int, batch: int,
-                  augment: Optional[bool] = None):
+                  augment: Optional[bool] = None, stored_mix: bool = False):
     """Traceable sampler over (bank, starts, valids, key) -> batch dict.
 
     Shared by :class:`DeviceBank` and the driver's multi-chip dry run
@@ -70,8 +107,11 @@ def build_sampler(cfg: Config, input_len: int, output_len: int, batch: int,
     validated by the same code they run with. Snippet positions draw with
     ``jax.random.randint`` — an earlier float32 ``frac * valid`` formulation
     quantised to even offsets on songs > 2^24 samples (round-2 review).
+    With ``stored_mix`` the bank carries the mixture as its last row and the
+    sampler serves it instead of re-summing (augmentation-off semantics).
     """
     S = cfg.num_sources
+    n_rows = S + 1 if stored_mix else S
     pad = (input_len - output_len) // 2
     do_augment = cfg.augmentation if augment is None else augment
 
@@ -81,8 +121,9 @@ def build_sampler(cfg: Config, input_len: int, output_len: int, batch: int,
         # valid == 0 (song exactly input_len long) still admits position 0.
         pos = starts[song] + jax.random.randint(
             k_pos, (batch,), 0, jnp.maximum(valids[song], 1))
-        wins = _gather_windows(bank, pos, S, input_len)
-        return _assemble_batch(cfg, wins, k_amp, pad, output_len, do_augment)
+        wins = _gather_windows(bank, pos, n_rows, input_len)
+        return _assemble_batch(cfg, wins, k_amp, pad, output_len, do_augment,
+                               stored_mix=stored_mix)
 
     return sample
 
@@ -115,6 +156,8 @@ class DeviceBank:
             raise ValueError(
                 f"host {host_id}/{num_hosts} got an empty song slice")
 
+        row_keys = _bank_row_keys(cfg)
+        self._stored_mix = row_keys[-1] == "mix"
         chunks: List[np.ndarray] = []
         starts, valids = [], []
         offset = 0
@@ -123,7 +166,7 @@ class DeviceBank:
             length = tracks["mix"].shape[0]
             if length < input_len:
                 continue
-            src = np.stack([tracks[s] for s in cfg.source_names])  # [S, n, C]
+            src = np.stack([tracks[k] for k in row_keys])  # [S(+1), n, C]
             q = np.clip(src, -1.0, 1.0)
             chunks.append(np.round(q * 32767.0).astype(np.int16))
             starts.append(offset)
@@ -131,6 +174,7 @@ class DeviceBank:
             offset += length
         if not chunks:
             raise ValueError("no song long enough for the input window")
+        _check_int32_addressable(offset, "device bank")
         if len(starts) < len(paths):
             print(f"WARNING: device bank dropped {len(paths) - len(starts)} "
                   f"of {len(paths)} songs shorter than the "
@@ -167,13 +211,17 @@ class DeviceBank:
 
     def _build_sampler(self):
         return build_sampler(self.cfg, self.input_len, self.output_len,
-                             self.batch)
+                             self.batch, stored_mix=self._stored_mix)
 
-    def batches(self, base_key=None):
-        """Endless iterator of device-resident training batches."""
+    def batches(self, base_key=None, start: int = 0):
+        """Endless iterator of device-resident training batches. ``start``
+        offsets the key-fold index — the driver passes the absolute step so
+        the eager stream matches the scanned epoch's ``fold_in(key, step)``
+        convention in every round and across resume (a 0-based fold would
+        replay round-1 windows after a round boundary or a crash-resume)."""
         key = base_key if base_key is not None else jax.random.PRNGKey(
             self.cfg.seed)
-        i = 0
+        i = start
         while True:
             yield self._sample(self._bank, self._starts, self._valids,
                                jax.random.fold_in(key, i))
@@ -247,7 +295,9 @@ class ShardedBank:
         pid = jax.process_index()
         local = [(d_idx, dev) for d_idx, dev in enumerate(devices)
                  if dev.process_index == pid]
-        shards = []  # (device, bank [S, L, C] int16, starts, valids)
+        row_keys = _bank_row_keys(cfg)
+        self._stored_mix = row_keys[-1] == "mix"
+        shards = []  # (device, bank [S(+1), L, C] int16, starts, valids)
         for d_idx, dev in local:
             my_paths = paths[d_idx::n_dev]
             chunks: List[np.ndarray] = []
@@ -258,14 +308,15 @@ class ShardedBank:
                 length = tracks["mix"].shape[0]
                 if length < input_len:
                     continue
-                src = np.stack([tracks[s] for s in cfg.source_names])
+                src = np.stack([tracks[k] for k in row_keys])
                 q = np.clip(src, -1.0, 1.0)
                 chunks.append(np.round(q * 32767.0).astype(np.int16))
                 starts.append(offset)
                 valids.append(length - input_len)
                 offset += length
+            _check_int32_addressable(offset, "sharded bank device shard")
             bank = (np.concatenate(chunks, axis=1) if chunks
-                    else np.zeros((cfg.num_sources, 0, cfg.num_channels),
+                    else np.zeros((len(row_keys), 0, cfg.num_channels),
                                   np.int16))
             shards.append((dev, bank,
                            np.asarray(starts, np.int32).reshape(-1),
@@ -291,7 +342,7 @@ class ShardedBank:
             raise ValueError(
                 f"sharded bank needs >= 1 usable song per device "
                 f"({n_dev} devices, {len(paths)} songs in {partition!r})")
-        shard_bytes = cfg.num_sources * max_len * cfg.num_channels * 2
+        shard_bytes = len(row_keys) * max_len * cfg.num_channels * 2
         if max_bytes is not None and shard_bytes > max_bytes:
             raise ValueError(
                 f"per-device bank shard {shard_bytes / 1e9:.1f} GB exceeds "
@@ -317,7 +368,7 @@ class ShardedBank:
             count_parts.append(jax.device_put(
                 np.asarray([n], np.int32), dev))
         mk = jax.make_array_from_single_device_arrays
-        self._bank = mk((n_dev, cfg.num_sources, max_len, C), sh, bank_parts)
+        self._bank = mk((n_dev, len(row_keys), max_len, C), sh, bank_parts)
         self._starts = mk((n_dev, max_songs), sh, start_parts)
         self._valids = mk((n_dev, max_songs), sh, valid_parts)
         self._n_songs = mk((n_dev,), sh, count_parts)
@@ -355,14 +406,15 @@ class ShardedBank:
         from jax.sharding import PartitionSpec as P
 
         cfg = self.cfg
-        S = cfg.num_sources
+        n_rows = cfg.num_sources + (1 if self._stored_mix else 0)
         in_len, out_len, pad = self.input_len, self.output_len, self.pad
         b_local = self.batch // self.mesh.size
         do_augment = cfg.augmentation
+        stored_mix = self._stored_mix
         axis = self._axis
 
         def local_sample(bank, starts, valids, n_songs, key):
-            # Per-shard shapes: bank [1, S, L_pad, C]; starts/valids
+            # Per-shard shapes: bank [1, S(+1), L_pad, C]; starts/valids
             # [1, max_songs]; n_songs [1]; key replicated. Every device
             # folds the mesh position into the key so the global batch is
             # b_local independent draws per shard.
@@ -371,8 +423,9 @@ class ShardedBank:
             song = jax.random.randint(k_song, (b_local,), 0, n_songs[0])
             pos = starts[0, song] + jax.random.randint(
                 k_pos, (b_local,), 0, jnp.maximum(valids[0, song], 1))
-            wins = _gather_windows(bank[0], pos, S, in_len)
-            return _assemble_batch(cfg, wins, k_amp, pad, out_len, do_augment)
+            wins = _gather_windows(bank[0], pos, n_rows, in_len)
+            return _assemble_batch(cfg, wins, k_amp, pad, out_len, do_augment,
+                                   stored_mix=stored_mix)
 
         out_specs = {n: P(axis) for n in list(cfg.source_names) + ["mix"]}
         return jax.shard_map(
@@ -380,12 +433,14 @@ class ShardedBank:
             in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
             out_specs=out_specs)
 
-    def batches(self, base_key=None):
+    def batches(self, base_key=None, start: int = 0):
         """Endless iterator of globally-sharded training batches (the eager
-        pod path; sample stream identical to the scanned epoch's)."""
+        pod path; with ``start`` = the absolute step, the stream is identical
+        to the scanned epoch's ``fold_in(key, step)`` — see
+        :meth:`DeviceBank.batches`)."""
         key = base_key if base_key is not None else jax.random.PRNGKey(
             self.cfg.seed)
-        i = 0
+        i = start
         while True:
             yield self._sample(self._bank, self._starts, self._valids,
                                self._n_songs, jax.random.fold_in(key, i))
@@ -472,6 +527,7 @@ class EvalBank:
                 self.set_batch(batch_size or cfg.batch_size)
                 return
             raise ValueError("no song long enough for the input window")
+        _check_int32_addressable(offset, "eval bank")
         bank = np.concatenate(chunks, axis=1)
         if max_bytes is not None and bank.nbytes > max_bytes:
             raise ValueError(

@@ -335,8 +335,12 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
                 else:
                     bank.set_batch(rcfg.batch_size // n_proc)
                 if bank is not None:
+                    # start = absolute step: the eager fold index matches the
+                    # scanned epoch's fold_in(data_key, step) in round 2 and
+                    # across resume (device_cache.DeviceBank.batches).
                     local_it = bank.batches(
-                        jax.random.PRNGKey(rcfg.seed + rnd))
+                        jax.random.PRNGKey(rcfg.seed + rnd),
+                        start=state.step)
                 else:
                     pipe = D.make_pod_pipeline(rcfg, "train", in_len,
                                                out_len, seed=rcfg.seed + rnd)
@@ -364,7 +368,10 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
                                               chunk=rcfg.scan_chunk)
                 data_key = jax.random.PRNGKey(rcfg.seed + rnd)
             elif bank is not None:
-                train_it = bank.batches(jax.random.PRNGKey(rcfg.seed + rnd))
+                # start = absolute step, matching the scanned path's key fold
+                # (a scan_epoch=0/1 toggle must not change the sample stream)
+                train_it = bank.batches(jax.random.PRNGKey(rcfg.seed + rnd),
+                                        start=state.step)
 
         # Zero-host-byte validation: the device-resident valid windows are
         # built once and re-chunked across rounds (the round-2 batch doubling
@@ -389,7 +396,12 @@ def optimise(cfg: Config, experiment_id: Optional[str] = None,
                                               batch_size=rcfg.batch_size)
             valid_bank_tried = True
         elif valid_bank is not None:
-            valid_bank.set_batch(rcfg.batch_size)
+            # Per-host share in pod mode: make_pod_eval_bank built the bank
+            # at batch_size // n_proc (the sweep runs on LOCAL devices only —
+            # a global-batch sweep would put process_count x the training
+            # step's per-device activation memory on each chip); the round-2
+            # re-chunk must divide the same way. n_proc == 1 single-host.
+            valid_bank.set_batch(rcfg.batch_size // n_proc)
 
         worse = 0
         epochs_this_round = 0
