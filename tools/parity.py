@@ -81,6 +81,11 @@ def main() -> int:
     ap.add_argument("--estimates", default=os.path.join(REPO, ".parity"))
     ap.add_argument("--max-tracks", type=int, default=None,
                     help="bound the test set (smoke runs)")
+    ap.add_argument("--extra", action="append", default=[],
+                    help="extra key=value fragment appended to every "
+                         "`cli evaluate` call (repeatable) — e.g. "
+                         "--extra tpu_bss=1, --extra platform=cpu for a "
+                         "host-CPU smoke run, --extra infer_num_frames=16384")
     args = ap.parse_args()
 
     if not os.path.isdir(args.musdb):
@@ -115,6 +120,7 @@ def main() -> int:
                f"estimates_path={est}"]
         if args.max_tracks:
             cmd.append(f"max_tracks={args.max_tracks}")
+        cmd.extend(args.extra)
         print("+ " + " ".join(cmd), flush=True)
         subprocess.run(cmd, check=True, cwd=REPO)
 
