@@ -146,8 +146,11 @@ def main() -> int:
     # checkpoint=best: score the early-stop driver's best-validation model
     # (best.txt), not the newest step dir — the newest sat through
     # worse_epochs regressions by construction (reference Training.py:161).
+    # extra fragments apply to scoring too: architecture overrides must
+    # match the checkpoint just trained with them, and scoring knobs
+    # (platform=cpu, tpu_bss=1, infer window) belong to this stage.
     run_streamed([sys.executable, "-m", "waveunet_tpu.cli", "evaluate"]
-                 + common + ["checkpoint=best"], t0)
+                 + common + ["checkpoint=best"] + list(args.extra), t0)
 
     print("Scoring the mixture-as-estimate baseline ...", flush=True)
     cfg = get_config(args.preset, musdb_path=db)
