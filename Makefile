@@ -1,4 +1,4 @@
-.PHONY: test test-fast bench dryrun golden native clean quality quality-multi quality-u7 parity
+.PHONY: test test-fast smoke bench dryrun golden native clean quality quality-multi quality-u7 parity
 
 # Trained-quality artifact: train through the real driver to early stop,
 # score with in-repo BSS-Eval v4, write docs/quality_synth.json.
@@ -26,6 +26,12 @@ test:
 
 test-fast:
 	python -m pytest tests/ -q -x -k "not full_stack and not integration and not compat"
+
+# Fast end-to-end confidence: the multi-chip dry run plus the two product
+# runbook smokes (make-quality and make-parity pipelines at toy scale).
+smoke:
+	python __graft_entry__.py
+	python -m pytest tests/test_quality_tool.py tests/test_parity_tool.py -q
 
 bench:
 	python bench.py
