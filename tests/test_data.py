@@ -286,6 +286,38 @@ def test_wav_odd_data_chunk_before_fmt(tmp_path):
     np.testing.assert_allclose(audio[:, 0], (np.array([128, 255, 0]) - 128) / 128.0)
 
 
+def test_wav_malformed_inputs_raise_valueerror(tmp_path):
+    """`predict input_path=` accepts arbitrary user files: every malformed
+    WAV must surface as a clean ValueError, never a bare ZeroDivisionError
+    (channels=0 / sample-rate=0 headers) or struct.error (truncated
+    headers) — found by fuzzing the reader (round 4)."""
+    import struct as st
+
+    from waveunet_tpu.data.audio_io import load
+
+    def wav(n_ch=1, sr=8000, bits=16, data=b"\x00\x00" * 10, fmt_len=16):
+        fmt = st.pack("<HHIIHH", 1, n_ch, sr, sr * n_ch * bits // 8,
+                      max(n_ch * bits // 8, 1), bits)[:fmt_len]
+        body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", len(data)) + data)
+        return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    cases = {
+        "zero_channels.wav": wav(n_ch=0),
+        "zero_sr.wav": wav(sr=0),
+        "empty.wav": b"",
+        "tiny.wav": b"RIFF",
+        "short_fmt.wav": wav(fmt_len=8),
+    }
+    for name, blob in cases.items():
+        p = tmp_path / name
+        p.write_bytes(blob)
+        with pytest.raises(ValueError):
+            # sr= exercises the resample path a zero-rate header would
+            # crash with Fraction(22050, 0)
+            load(str(p), sr=22050)
+
+
 def test_device_bank_set_batch(tmp_path, cfg):
     """Round-2 fine-tuning reuses the round-1 bank: set_batch must re-point
     the sampler without touching the (expensive-to-upload) bank arrays."""

@@ -30,7 +30,10 @@ _FFMPEG = shutil.which("ffmpeg")
 
 def _read_wav_numpy(path: str) -> Tuple[np.ndarray, int]:
     with open(path, "rb") as f:
-        riff, size, wave_id = struct.unpack("<4sI4s", f.read(12))
+        hdr12 = f.read(12)
+        if len(hdr12) < 12:
+            raise ValueError(f"{path}: truncated WAV header")
+        riff, size, wave_id = struct.unpack("<4sI4s", hdr12)
         if riff != b"RIFF" or wave_id != b"WAVE":
             raise ValueError(f"{path}: not a RIFF/WAVE file")
         fmt = None
@@ -52,7 +55,14 @@ def _read_wav_numpy(path: str) -> Tuple[np.ndarray, int]:
                 break
     if fmt is None or data is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"{path}: truncated fmt chunk ({len(fmt)} bytes)")
     audio_fmt, n_ch, sr, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if n_ch < 1 or sr < 1:
+        # a zero here would surface as a bare ZeroDivisionError from the
+        # de-interleave / resampler — malformed input must be a ValueError
+        raise ValueError(
+            f"{path}: invalid WAV header (channels={n_ch}, sample rate={sr})")
     if audio_fmt == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
         audio_fmt = struct.unpack("<H", fmt[24:26])[0]
     if audio_fmt == 1:  # PCM
