@@ -65,3 +65,30 @@ def test_invalid_values_rejected():
         get_config("nonexistent")
     with pytest.raises(ConfigError, match="bad config override"):
         get_config("baseline", not_a_real_key=1)
+
+
+def test_nonpositive_core_fields_rejected():
+    """Zero/negative core numerics pass the same-padding shape algebra and
+    only explode far downstream (empty batches, zero-width convs,
+    Fraction(sr, 0) in the resampler) — they must be rejected at config
+    time. Sentinel-valued fields keep their special values."""
+    from waveunet_tpu.config import Config, ConfigError
+
+    for field in ("num_layers", "num_frames", "filter_size",
+                  "merge_filter_size", "output_filter_size",
+                  "num_initial_filters", "batch_size", "expected_sr",
+                  "epoch_it", "infer_batch"):
+        # through the override surface: the typed ConfigError the CLI
+        # prints as a one-line message
+        with pytest.raises(ConfigError, match=field):
+            get_config("baseline", **{field: 0})
+    with pytest.raises(ConfigError, match="num_layers"):
+        get_config("baseline", num_layers=-1)
+    # direct construction keeps the plain ValueError
+    with pytest.raises(ValueError, match="batch_size"):
+        Config(batch_size=0)
+    # documented sentinels still construct
+    assert get_config("baseline", scan_chunk=0).scan_chunk == 0
+    assert get_config("baseline", keep_checkpoints=0).keep_checkpoints == 0
+    assert get_config("baseline", infer_num_frames=-1).infer_num_frames == -1
+    assert get_config("baseline", infer_num_frames=None).infer_num_frames is None

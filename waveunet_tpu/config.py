@@ -158,6 +158,20 @@ class Config:
             # dataset preparation and die with an opaque numpy error.
             raise ValueError(
                 f"num_val_songs must be >= 0, got {self.num_val_songs}")
+        for fname in ("num_layers", "num_frames", "filter_size",
+                      "merge_filter_size", "output_filter_size",
+                      "num_initial_filters", "batch_size", "expected_sr",
+                      "epoch_it", "num_snippets_per_track", "cache_size",
+                      "num_workers", "worse_epochs", "infer_batch"):
+            # zero/negative values here pass shape algebra in same-padding
+            # mode and only explode much later (empty batches, zero-width
+            # convs, Fraction(sr, 0) in the resampler) — reject a typo'd
+            # override at config time instead. Fields with legitimate
+            # sentinel values (infer_num_frames -1/None, scan_chunk 0,
+            # keep_checkpoints 0, mesh_shape -1) are excluded.
+            v = getattr(self, fname)
+            if v < 1:
+                raise ValueError(f"{fname} must be >= 1, got {v}")
         srcs = _TASK_SOURCES[self.task]
         object.__setattr__(self, "source_names", srcs)
         object.__setattr__(self, "num_sources", len(srcs))
@@ -295,6 +309,10 @@ def get_config(name: str = "baseline", **overrides) -> Config:
             cfg = cfg.replace(**overrides)
         except TypeError as e:
             raise ConfigError(f"bad config override: {e}") from e
+        except ValueError as e:
+            # bad VALUE (e.g. batch_size=0) gets the same clean CLI
+            # treatment as a bad key — the CLI catches exactly ConfigError
+            raise ConfigError(f"bad config override value: {e}") from e
     return cfg
 
 
