@@ -7,7 +7,15 @@ import jax.numpy as jnp
 import pytest
 
 from waveunet_tpu.config import get_config
-from waveunet_tpu.infer.engine import Separator, frame_windows, window_positions
+from waveunet_tpu.infer.engine import Separator, window_positions
+
+
+def frame_windows(padded, positions, in_len):
+    """Test helper (formerly production code — framing moved on-device):
+    gather [n_win, in_len, ch] windows from context-padded audio."""
+    view = np.lib.stride_tricks.sliding_window_view(padded, in_len, axis=0)
+    wins = view[positions]                      # [n_win, ch, in_len]
+    return np.ascontiguousarray(np.transpose(wins, (0, 2, 1)))
 from waveunet_tpu.models.waveunet import apply_waveunet, init_waveunet
 from waveunet_tpu.ops import shapes
 

@@ -439,7 +439,8 @@ def cmd_warmup(args):
     # every (length bucket x pow2 chunk size x H2D mode) program a real song
     # can hit — split-tail batching means tails come in pow2 sizes, not just
     # the full batch
-    n = sep.precompile(max_song_s=float(opts.get("max_song_s", 6 * 60.0)))
+    n = sep.precompile(max_song_s=float(opts.get("max_song_s", 6 * 60.0)),
+                       progress=lambda s: print(s, flush=True))
     print(f"warmup complete; {n} programs exercised and persisted to the "
           f"XLA cache")
 

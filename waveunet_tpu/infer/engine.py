@@ -41,19 +41,6 @@ def window_positions(n_total: int, out_len: int) -> np.ndarray:
     return pos
 
 
-def frame_windows(padded: np.ndarray, positions: np.ndarray, in_len: int
-                  ) -> np.ndarray:
-    """Gather [n_win, in_len, ch] windows from context-padded audio.
-
-    Uniform-hop windows come from a zero-copy ``sliding_window_view``; the
-    (possibly) right-aligned last window is gathered explicitly.
-    """
-    view = np.lib.stride_tricks.sliding_window_view(padded, in_len, axis=0)
-    # view: [n_total_padded - in_len + 1, ch, in_len]
-    wins = view[positions]                      # [n_win, ch, in_len]
-    return np.ascontiguousarray(np.transpose(wins, (0, 2, 1)))
-
-
 class Separator:
     """Reusable jitted separation engine for one (config, params) pair.
 
@@ -164,12 +151,22 @@ class Separator:
             self._fwd = jax.jit(chunk_fwd)
             self._song_sharding = None
 
-    def precompile(self, max_song_s: float = 6 * 60.0) -> int:
+    def precompile(self, max_song_s: float = 6 * 60.0,
+                   progress: Optional[Callable[[str], None]] = None) -> int:
         """Compile EVERY program a real song can hit — all pow2 chunk sizes
         (split-tail batching) x both H2D modes x every song-length bucket up
         to ``max_song_s`` — into the persistent XLA cache. Serving/eval then
         never stalls on the remote compiler (minutes per shape here).
-        Returns the number of programs exercised."""
+        Returns the number of programs exercised.
+
+        ``progress`` (e.g. ``print``) receives one "i/N ... ETA" line per
+        program: a cold warmup walks ~80 programs through a remote compiler
+        that takes minutes per shape, and without output it looks hung.
+        Remaining-time estimates use the mean of COLD programs only (cache
+        hits come back in milliseconds and would wreck the ETA).
+        """
+        import time as _time
+
         wire16 = self.cfg.infer_wire_dtype == "int16"
         dt = jnp.int16 if wire16 else jnp.float32
         n_ch = self.cfg.num_channels
@@ -181,34 +178,49 @@ class Separator:
         ks.append(self.batch)
         if self.mesh is not None:
             ks = [self.batch]  # mesh tails stay full-batch (shard-divisible)
-        count = 0
         # song-mode programs: one per length bucket; chunk programs retrace
         # per positions length only, so any bucketed song length serves
         n_buckets = -(-int(max_song_s * self.cfg.expected_sr
                            + 2 * self.pad) // self._LEN_BUCKET)
+        total = n_buckets * len(ks) + (len(ks) if self.mesh is None else 0)
+        count = 0
+        cold_times: list = []
+
+        def _run_one(song, k, label):
+            nonlocal count
+            t0 = _time.perf_counter()
+            res = self._fwd(self.params, song, jnp.zeros((k,), jnp.int32))
+            # scalar value fetch (not block_until_ready, which the tunnel
+            # client has been seen no-op'ing): the warmup CLI exits right
+            # after, and compiles must have persisted to the cache by
+            # then. One element — not the whole [K, out_len, ch] source,
+            # which is several MB over the ~0.03 GB/s link per program.
+            np.asarray(next(iter(res.values()))[0, 0, 0])
+            dt_s = _time.perf_counter() - t0
+            count += 1
+            if dt_s > 2.0:  # a cache hit over this tunnel is well under 2 s
+                cold_times.append(dt_s)
+            if progress is not None:
+                remaining = total - count
+                eta = (f", ~{remaining * np.mean(cold_times) / 60:.0f} min "
+                       f"left if all cold"
+                       if cold_times and remaining else "")
+                progress(f"  [{count}/{total}] {label} k={k}: "
+                         f"{dt_s:.1f}s{' (cached)' if dt_s <= 2.0 else ''}"
+                         f"{eta}")
+
         for b in range(1, n_buckets + 1):
             song = jnp.zeros((b * self._LEN_BUCKET, n_ch), dt)
             if self._song_sharding is not None:
                 song = jax.device_put(song, self._song_sharding)
             for k in ks:
-                res = self._fwd(self.params, song,
-                                jnp.zeros((k,), jnp.int32))
-                # scalar value fetch (not block_until_ready, which the tunnel
-                # client has been seen no-op'ing): the warmup CLI exits right
-                # after, and compiles must have persisted to the cache by
-                # then. One element — not the whole [K, out_len, ch] source,
-                # which is several MB over the ~0.03 GB/s link per program.
-                np.asarray(next(iter(res.values()))[0, 0, 0])
-                count += 1
+                _run_one(song, k, f"song-bucket {b}/{n_buckets}")
         # slab-mode programs (single-device auto/explicit path)
         if self.mesh is None:
             for k in ks:
                 slab = jnp.zeros(((k - 1) * self.out_len + self.in_len, n_ch),
                                  dt)
-                res = self._fwd(self.params, slab,
-                                jnp.zeros((k,), jnp.int32))
-                np.asarray(next(iter(res.values()))[0, 0, 0])
-                count += 1
+                _run_one(slab, k, "slab")
         return count
 
     def resident_sweep(self, n_total: int):
@@ -358,14 +370,19 @@ class Separator:
 
     def _run_batched(self, padded: np.ndarray, positions: np.ndarray,
                      n_total: int) -> Dict[str, np.ndarray]:
-        """Sweep every window through the jitted on-device-framed forward and
-        stitch on device; one device->host fetch per source.
+        """Sweep every window through the jitted on-device-framed forward;
+        per-chunk results copy back asynchronously and are stitched on HOST.
 
         Chunks are dispatched asynchronously, overlapping H2D, compute, and the
-        final D2H. The device-side stitch reproduces the reference's serial
+        per-chunk D2H copies. The host stitch (see the inline comment below —
+        no song-length-dependent device program, so dataset evals never hit
+        the remote compiler per song) reproduces the reference's serial
         overlap semantics (`Evaluate.py:125-139`): windows are contiguous at
         hop = out_len except the right-aligned final window, whose tail slice
-        supplies the last ``n_total - (n_win-1)*out_len`` samples.
+        supplies the last ``n_total - (n_win-1)*out_len`` samples. A fully
+        device-side stitch DOES exist — ``resident_sweep`` — and is the bench
+        headline path; it compiles per song length, which is fine for one
+        fixed bench song and wrong for an eval over many lengths.
         """
         n_win = positions.shape[0]
         bs = self.batch
