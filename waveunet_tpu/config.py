@@ -132,6 +132,13 @@ class Config:
     # Host->device wire format for full songs: "float32" (exact) or "int16"
     # (2x less transfer; bit-exact for PCM16-derived audio).
     infer_wire_dtype: str = "float32"
+    # MXU pass-count for fp32 convs (jax.lax.Precision). The TPU MXU is a
+    # bf16 multiplier; XLA emulates fp32 convs with 1 ("default"), 3 ("high"
+    # / tensorfloat32-ish) or 6 ("highest") bf16 passes. None defers to
+    # JAX's default / any ambient jax.default_matmul_precision scope.
+    # tools/precision_probe.py measures speed + on-device golden parity of
+    # all three on the real chip (DESIGN.md §1 MFU table).
+    conv_precision: Optional[str] = None
 
     # --- derived (computed in __post_init__) ---
     source_names: Tuple[str, ...] = dataclasses.field(default=(), init=False)
@@ -153,6 +160,9 @@ class Config:
         if self.decimate_lowering not in ("dilate", "slice"):
             raise NotImplementedError(
                 f"unknown decimate_lowering {self.decimate_lowering!r}")
+        if self.conv_precision not in (None, "default", "high", "highest"):
+            raise NotImplementedError(
+                f"unknown conv_precision {self.conv_precision!r}")
         if self.num_val_songs < 0:
             # A negative value would flow into rng.choice(size=n) during
             # dataset preparation and die with an opaque numpy error.

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from waveunet_tpu.config import Config
-from waveunet_tpu.ops.conv import conv2d, conv2d_init, conv2d_transpose
+from waveunet_tpu.ops.conv import (PRECISION, conv2d, conv2d_init,
+                                   conv2d_transpose)
 from waveunet_tpu.ops.primitives import leaky_relu, pad_freqs
 from waveunet_tpu.ops.stft import istft, stft
 
@@ -104,6 +105,7 @@ def apply_spectrogram_unet(params: Dict, cfg: Config, mix: jnp.ndarray,
     # rule for bf16 kernels (same limit as ops/conv.py:conv1d fp32_accum).
     cdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
               and not training else None)
+    prec = PRECISION[cfg.conv_precision]
     spec = stft(mix[..., 0])                      # [B, F, 513]
     mix_mag = jnp.abs(spec)
     x0 = jnp.log1p(mix_mag)[..., None][:, :, :-1, :]  # [B, F, 512, 1]
@@ -120,7 +122,7 @@ def apply_spectrogram_unet(params: Dict, cfg: Config, mix: jnp.ndarray,
             assert cur.shape[1] % 2 == 0 and cur.shape[2] % 2 == 0, (
                 f"spectrogram dims must halve cleanly, got {cur.shape}")
             cur = conv2d(cur, params[f"{s}/down_{i}"], stride=(2, 2),
-                         compute_dtype=cdtype)
+                         compute_dtype=cdtype, precision=prec)
             cur, new_state[f"{s}/down_{i}_bn"] = _bn_apply(
                 cur, params[f"{s}/down_{i}_bn"]["beta"],
                 state[f"{s}/down_{i}_bn"], training)
@@ -129,7 +131,7 @@ def apply_spectrogram_unet(params: Dict, cfg: Config, mix: jnp.ndarray,
                 skips.append(cur)
         for i in range(L - 1):
             cur = conv2d_transpose(cur, params[f"{s}/up_{i}"], stride=(2, 2),
-                                   compute_dtype=cdtype)
+                                   compute_dtype=cdtype, precision=prec)
             cur, new_state[f"{s}/up_{i}_bn"] = _bn_apply(
                 cur, params[f"{s}/up_{i}_bn"]["beta"],
                 state[f"{s}/up_{i}_bn"], training)
@@ -141,7 +143,7 @@ def apply_spectrogram_unet(params: Dict, cfg: Config, mix: jnp.ndarray,
                 cur = jnp.where(keep, cur / 0.5, 0.0)
         mask = jax.nn.sigmoid(
             conv2d_transpose(cur, params[f"{s}/mask"], stride=(2, 2),
-                             compute_dtype=cdtype))
+                             compute_dtype=cdtype, precision=prec))
         mask = pad_freqs(mask, mix_mag.shape[2], axis=2, value=0.5)[..., 0]
         masks[s] = mask
         mags[s] = mix_mag * mask

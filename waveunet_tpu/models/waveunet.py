@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from waveunet_tpu.config import Config
 from waveunet_tpu.ops import shapes
-from waveunet_tpu.ops.conv import conv1d, conv1d_init
+from waveunet_tpu.ops.conv import PRECISION, conv1d, conv1d_init
 from waveunet_tpu.ops.primitives import audio_clip, crop, crop_and_concat, leaky_relu
 from waveunet_tpu.ops.upsample import bilinear_x2, learned_interp_x2
 
@@ -99,6 +99,7 @@ def apply_waveunet(params: Params, cfg: Config, mix: jnp.ndarray,
     """Forward pass: mixture [B, in_len, C] -> {source: [B, out_len, C]}."""
     padding = "VALID" if cfg.context else "SAME"
     cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    prec = PRECISION[cfg.conv_precision]
     # Opt-in Pallas kernels (inference-only forward). Measured on v5e they are
     # currently slightly behind XLA's native conv lowering (see
     # waveunet_tpu/ops/pallas/KERNELS.md) — default stays False.
@@ -130,7 +131,8 @@ def apply_waveunet(params: Params, cfg: Config, mix: jnp.ndarray,
             lo = (w - 1) // 2
             pad = [(2 * lo, 2 * (w - 1 - lo))]
         return conv1d(x, p, padding=pad, stride=stride, rhs_dilation=dil,
-                      compute_dtype=cdtype, fp32_accum=not training)
+                      compute_dtype=cdtype, fp32_accum=not training,
+                      precision=prec)
 
     def conv_act(x, p):
         if use_pallas:

@@ -54,8 +54,17 @@ def conv2d_init(rng, hw: Tuple[int, int], in_ch: int, out_ch: int,
     }
 
 
+# Config.conv_precision string -> lax.Precision (None defers to JAX's
+# ambient default, i.e. jax.default_matmul_precision scopes still apply).
+PRECISION = {None: None,
+             "default": jax.lax.Precision.DEFAULT,
+             "high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST}
+
+
 def conv1d(x, params, *, padding="VALID", stride: int = 1,
-           rhs_dilation: int = 1, compute_dtype=None, fp32_accum: bool = True):
+           rhs_dilation: int = 1, compute_dtype=None, fp32_accum: bool = True,
+           precision=None):
     """1-D convolution over [B, W, C] with a TF-layout kernel [w, in, out].
 
     ``padding`` is "VALID"/"SAME" or an explicit ``[(lo, hi)]`` pair (used by
@@ -66,7 +75,11 @@ def conv1d(x, params, *, padding="VALID", stride: int = 1,
     correct for inference, but its conv transpose rule rejects the fp32
     cotangent against a bf16 kernel, so differentiated (training) calls must
     pass ``fp32_accum=False`` (the conv then runs fully in ``compute_dtype``,
-    which is what production bf16 training does anyway)."""
+    which is what production bf16 training does anyway).
+
+    ``precision`` is a ``jax.lax.Precision`` (or None = JAX default): the MXU
+    is a bf16 unit, and for fp32 operands this selects the 1/3/6-pass bf16
+    emulation (DEFAULT/HIGH/HIGHEST)."""
     k, b = params["kernel"], params["bias"]
     in_dtype = x.dtype
     pet = jnp.float32 if fp32_accum else None
@@ -76,13 +89,13 @@ def conv1d(x, params, *, padding="VALID", stride: int = 1,
     y = jax.lax.conv_general_dilated(
         x, k, window_strides=(stride,), padding=padding,
         rhs_dilation=(rhs_dilation,), dimension_numbers=_DN_1D,
-        preferred_element_type=pet)
+        preferred_element_type=pet, precision=precision)
     y = y.astype(jnp.float32) + b.astype(jnp.float32)
     return y.astype(in_dtype)
 
 
 def conv2d(x, params, *, stride: Tuple[int, int] = (1, 1), padding: str = "SAME",
-           compute_dtype=None):
+           compute_dtype=None, precision=None):
     """2-D convolution over [B, H, W, C] with TF-layout kernel [h, w, in, out]."""
     k, b = params["kernel"], params["bias"]
     in_dtype = x.dtype
@@ -91,13 +104,15 @@ def conv2d(x, params, *, stride: Tuple[int, int] = (1, 1), padding: str = "SAME"
         k = k.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x, k, window_strides=stride, padding=padding,
-        dimension_numbers=_DN_2D, preferred_element_type=jnp.float32)
+        dimension_numbers=_DN_2D, preferred_element_type=jnp.float32,
+        precision=precision)
     y = y + b.astype(y.dtype)
     return y.astype(in_dtype)
 
 
 def conv2d_transpose(x, params, *, stride: Tuple[int, int] = (2, 2),
-                     padding: str = "SAME", compute_dtype=None):
+                     padding: str = "SAME", compute_dtype=None,
+                     precision=None):
     """2-D transposed convolution matching ``tf.layers.conv2d_transpose``.
 
     TF defines conv-transpose as the gradient of the forward conv, with kernel
@@ -114,6 +129,7 @@ def conv2d_transpose(x, params, *, stride: Tuple[int, int] = (2, 2),
     y = jax.lax.conv_transpose(
         x, k, strides=stride, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        transpose_kernel=True, preferred_element_type=jnp.float32)
+        transpose_kernel=True, preferred_element_type=jnp.float32,
+        precision=precision)
     y = y + b.astype(y.dtype)
     return y.astype(in_dtype)
