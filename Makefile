@@ -1,4 +1,4 @@
-.PHONY: test test-fast smoke bench dryrun golden native clean quality quality-multi quality-u7 parity
+.PHONY: test test-fast smoke bench dryrun golden native clean quality quality-multi quality-u7 quality-m1 parity
 
 # Trained-quality artifact: train through the real driver to early stop,
 # score with in-repo BSS-Eval v4, write docs/quality_synth.json.
@@ -14,6 +14,15 @@ quality-multi:
 # docs/quality_synth_unet_spectrogram.json.
 quality-u7:
 	python tools/quality.py --preset unet_spectrogram
+
+# Same, for the non-context M1 baseline family (same-padding, mono,
+# direct/tanh output — `/root/reference/Config.py:52-54`): writes
+# docs/quality_synth_baseline.json. Reduced scale: the family's value is
+# covering the same-padding/direct-output code paths with a driver-level
+# trained artifact, not another production soak.
+quality-m1:
+	python tools/quality.py --preset baseline --train-songs 8 --seconds 45 \
+	  --epoch-it 300
 
 # Zoo-parity run (needs real MUSDB18 + the reference's pretrained zoo):
 #   make parity MUSDB=/path/to/musdb18 [ZOO=/path/to/checkpoints]

@@ -349,3 +349,19 @@ def test_train_checkpoint_auto_resumes_across_experiments(cli_env, tmp_path,
     assert "fresh start" not in out
     assert os.path.join("ckpts", "first") in out.split(
         "auto-resume: ", 1)[1].splitlines()[0]
+
+
+def test_zoo_checkpoint_resolver(tmp_path):
+    """Predict.py:10 parity: with no checkpoint=, predict falls back to the
+    highest-step zoo-layout TF checkpoint under model_base_dir/<preset>/."""
+    cfg = get_config("full_44KHz", model_base_dir=str(tmp_path))
+    assert cli._resolve_zoo_tf_checkpoint(cfg, "full_44KHz") is None
+    d = tmp_path / "full_44KHz"
+    d.mkdir()
+    for step in (1000, 236118, 5):
+        (d / f"full_44KHz-{step}.index").touch()
+        (d / f"full_44KHz-{step}.data-00000-of-00001").touch()
+    (d / "checkpoint").touch()           # TF bookkeeping file — ignored
+    (d / "full_44KHz-bad.index").touch()  # non-integer step — ignored
+    got = cli._resolve_zoo_tf_checkpoint(cfg, "full_44KHz")
+    assert got == str(d / "full_44KHz-236118")

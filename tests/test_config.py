@@ -65,6 +65,10 @@ def test_invalid_values_rejected():
         get_config("nonexistent")
     with pytest.raises(ConfigError, match="bad config override"):
         get_config("baseline", not_a_real_key=1)
+    with pytest.raises(NotImplementedError):
+        get_config("baseline", conv_precision="bfloat16")  # not a Precision
+    for ok in (None, "default", "high", "highest"):
+        assert get_config("baseline", conv_precision=ok).conv_precision == ok
 
 
 def test_nonpositive_core_fields_rejected():

@@ -396,3 +396,27 @@ def test_harness_track_sharding(tmp_path, rng, capsys):
                    output_path=str(tmp_path / "est"), max_tracks=1,
                    shard_index=1, shard_count=2, aggregate=False)
     assert os.listdir(res_dir) == []
+
+
+def test_self_check_separator(rng):
+    """museval `mus.test` parity (`Evaluate.py:158`): a conforming engine
+    passes; one returning wrong source names / shapes fails loudly."""
+    import jax
+
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.eval.harness import self_check_separator
+    from waveunet_tpu.infer.engine import Separator
+    from waveunet_tpu.models.waveunet import apply_waveunet, init_waveunet
+
+    cfg = get_config("baseline", num_layers=3, num_frames=1024,
+                     expected_sr=8192)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    self_check_separator(cfg, Separator(cfg, params))  # must not raise
+
+    def bad_forward(p, x):  # drops a source and mangles the other's name
+        out = apply_waveunet(p, cfg, x, training=False)
+        return {"not_a_source": out[cfg.source_names[0]]}
+
+    bad = Separator(cfg, params, forward_fn=bad_forward)
+    with pytest.raises(RuntimeError, match="self-check failed"):
+        self_check_separator(cfg, bad)

@@ -221,3 +221,20 @@ def test_decimate_lowering_parity(kw, rng):
     for pth, va, vb in zip(paths_a, leaves_a, leaves_b):
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=2e-6,
                                    err_msg=pth)
+
+
+@pytest.mark.parametrize("prec", ["default", "high", "highest"])
+def test_conv_precision_forward_parity(prec, rng):
+    """conv_precision selects the MXU bf16 pass count; on the CPU backend all
+    settings are true fp32, so outputs must be IDENTICAL to the unset
+    default — the knob may only change device lowering, never graph math."""
+    cfg0 = _tiny("full", infer_num_frames=None)
+    cfgp = cfg0.replace(conv_precision=prec)
+    params = wu.init_waveunet(jax.random.PRNGKey(3), cfg0)
+    in_len, _ = shapes.get_padding(cfg0, cfg0.num_frames)
+    x = jnp.asarray(rng.standard_normal((2, in_len, 2)).astype(np.float32))
+    want = wu.apply_waveunet(params, cfg0, x, training=False)
+    got = wu.apply_waveunet(params, cfgp, x, training=False)
+    for name in cfg0.source_names:
+        np.testing.assert_array_equal(np.asarray(got[name]),
+                                      np.asarray(want[name]), err_msg=name)

@@ -65,7 +65,7 @@ def _split_args(args: List[str]) -> Tuple[List[str], Dict[str, str]]:
                 "experiment_id", "max_epochs", "win_s", "max_tracks",
                 "final_eval", "tpu_bss", "chunk_ms", "batch_windows",
                 "max_song_s", "coordinator", "num_processes", "process_id",
-                "random_init", "results_dir"}
+                "random_init", "results_dir", "self_check"}
     cfg_frags, opts = [], {}
     for a in args:
         if "=" in a:
@@ -217,7 +217,9 @@ def _dataset_eval(jax, cfg, opts, checkpoint, subset, output_path):
                    win_s=float(opts.get("win_s", 1.0)),
                    tpu_bss=_parse_tpu_bss(opts),
                    shard_index=shard_index, shard_count=shard_count,
-                   aggregate=not pod)
+                   aggregate=not pod,
+                   self_check=opts.get("self_check", "1") not in ("0",
+                                                                  "false"))
     if pod:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("waveunet_dataset_eval")
@@ -345,6 +347,29 @@ def _resolve_best_checkpoint(cfg, experiment_id):
     return read_marker(newest) if newest is not None else None
 
 
+def _resolve_zoo_tf_checkpoint(cfg, preset: str):
+    """`Predict.py:10` convenience: the reference defaults its model path to
+    the downloaded zoo's conventional TF layout
+    ``checkpoints/<preset>/<preset>-<step>``. With no ``checkpoint=`` given,
+    predict falls back to the highest-step TF checkpoint under
+    ``<model_base_dir>/<preset>/`` when one exists (None otherwise — the
+    fail-fast no-checkpoint error stays for everyone without a zoo)."""
+    d = os.path.join(cfg.model_base_dir, preset)
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for f in os.listdir(d):
+        if f.endswith(".index") and "-" in f:
+            stem = f[:-len(".index")]
+            try:
+                step = int(stem.rsplit("-", 1)[1])
+            except ValueError:
+                continue
+            if best is None or step > best[0]:
+                best = (step, os.path.join(d, stem))
+    return best[1] if best else None
+
+
 def cmd_predict(args):
     _setup_jax()
     import jax
@@ -357,7 +382,15 @@ def cmd_predict(args):
     if "input_path" not in opts:
         print("predict requires input_path=<audio file>", file=sys.stderr)
         sys.exit(2)
-    params, model_state = _load_params(cfg, opts.get("checkpoint"),
+    checkpoint = opts.get("checkpoint")
+    if checkpoint is None and "random_init" not in opts:
+        preset = next((a for a in cfg_frags if "=" not in a), "baseline")
+        zoo = _resolve_zoo_tf_checkpoint(cfg, preset)
+        if zoo is not None:
+            print(f"no checkpoint given; using zoo checkpoint {zoo} "
+                  f"(reference Predict.py default)")
+            checkpoint = zoo
+    params, model_state = _load_params(cfg, checkpoint,
                                        opts.get("experiment_id", ""),
                                        allow_random=_random_ok(opts))
     mesh = make_mesh() if len(jax.devices()) > 1 else None

@@ -184,13 +184,44 @@ def aggregate_and_print(results_dir: str):
     return stats
 
 
+def self_check_separator(cfg: Config, sep: Separator, seconds: float = 2.0
+                         ) -> None:
+    """Estimates-contract self-check — the reference asserts museval's
+    ``mus.test(predict_fun)`` before every dataset run
+    (`/root/reference/Evaluate.py:158`); this is its engine-level equivalent.
+    Separates a tiny random track and validates the output contract (source
+    names, shapes, dtype, finiteness, peak) so a wiring bug fails in seconds
+    instead of after the first multi-minute track. Raises RuntimeError."""
+    rng = np.random.default_rng(0)
+    n = int(seconds * cfg.expected_sr)
+    audio = (0.1 * rng.standard_normal((n, 2))).astype(np.float32)
+    preds = sep.separate(audio, cfg.expected_sr)
+    problems = []
+    if set(preds) != set(cfg.source_names):
+        problems.append(f"source names {sorted(preds)} != "
+                        f"{sorted(cfg.source_names)}")
+    for name, est in preds.items():
+        if est.shape != (n, cfg.num_channels):
+            problems.append(f"{name}: shape {est.shape} != "
+                            f"({n}, {cfg.num_channels})")
+        if est.dtype != np.float32:
+            problems.append(f"{name}: dtype {est.dtype} != float32")
+        if not np.isfinite(est).all():
+            problems.append(f"{name}: non-finite samples")
+        elif np.abs(est).max() > 1.0 + 1e-6:
+            problems.append(f"{name}: peak {np.abs(est).max():.3f} > 1")
+    if problems:
+        raise RuntimeError("separator self-check failed: "
+                           + "; ".join(problems))
+
+
 def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
                    subset: str = "test", output_path: str = "estimates",
                    max_tracks: Optional[int] = None, win_s: float = 1.0,
                    tpu_bss: bool = False,
                    scoring_workers: Optional[int] = None,
                    shard_index: int = 0, shard_count: int = 1,
-                   aggregate: bool = True):
+                   aggregate: bool = True, self_check: bool = True):
     """Full-dataset evaluation; prints the aggregate table at the end.
 
     Pipelined: while the BSS-Eval scoring of track i runs in workers, the
@@ -224,6 +255,11 @@ def evaluate_musdb(cfg: Config, params, model_state=None, mesh=None,
     from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
     sep = Separator(cfg, params, model_state=model_state, mesh=mesh)
+    if self_check:
+        # `mus.test(predict_fun)` parity: fail on contract bugs in seconds,
+        # not after the first track (costs one tiny-bucket compile when the
+        # XLA cache is cold; pass self_check=False to skip).
+        self_check_separator(cfg, sep)
     results_dir = os.path.join(output_path, subset)
     os.makedirs(results_dir, exist_ok=True)
 
