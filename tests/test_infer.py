@@ -8,6 +8,8 @@ import pytest
 
 from waveunet_tpu.config import get_config
 from waveunet_tpu.infer.engine import Separator, window_positions
+from waveunet_tpu.models.waveunet import apply_waveunet, init_waveunet
+from waveunet_tpu.ops import shapes
 
 
 def frame_windows(padded, positions, in_len):
@@ -16,8 +18,6 @@ def frame_windows(padded, positions, in_len):
     view = np.lib.stride_tricks.sliding_window_view(padded, in_len, axis=0)
     wins = view[positions]                      # [n_win, ch, in_len]
     return np.ascontiguousarray(np.transpose(wins, (0, 2, 1)))
-from waveunet_tpu.models.waveunet import apply_waveunet, init_waveunet
-from waveunet_tpu.ops import shapes
 
 
 def test_window_positions_right_aligned():
@@ -365,3 +365,28 @@ def test_resident_sweep_too_short_raises(rng):
     sep = Separator(cfg, init_waveunet(jax.random.PRNGKey(0), cfg))
     with pytest.raises(ValueError, match="shorter than one output window"):
         sep.resident_sweep(out_len - 1)
+
+
+def test_resident_sweep_spectrogram_family(rng):
+    """bench.py's U7 family row drives resident_sweep with the spectrogram
+    forward (BN state, mask/iSTFT, no difference reconstruction) — pin that
+    path against the production host-stitched output."""
+    from waveunet_tpu.models.spectrogram_unet import init_spectrogram_unet
+
+    cfg = get_config("unet_spectrogram", num_layers=3,
+                     num_frames=768 * 15 + 1024, infer_batch=2,
+                     infer_num_frames=None, num_initial_filters=4)
+    params, state = init_spectrogram_unet(jax.random.PRNGKey(0), cfg)
+    sep = Separator(cfg, params, model_state=state)
+    n = sep.out_len * 2 + 917  # 3 windows: full batch + right-aligned tail
+    audio = (0.1 * rng.standard_normal((n, 1))).astype(np.float32)
+    host = sep.separate(audio, cfg.expected_sr)
+
+    padded = np.pad(audio, [(sep.pad, sep.pad), (0, 0)])
+    fn, positions = sep.resident_sweep(n)
+    assert positions.shape[0] == 3
+    out, checksum = fn(params, jnp.asarray(padded))
+    assert np.isfinite(float(checksum))
+    for s in cfg.source_names:
+        np.testing.assert_allclose(np.asarray(out[s]), host[s], atol=2e-6,
+                                   err_msg=s)
