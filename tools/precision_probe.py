@@ -189,7 +189,13 @@ def main():
             rec["flops_source"] = "cpu-subprocess"
         try:
             if rec["flops_source"] == "device":
-                ca2 = step.lower(carry["p"], {}, carry["o"], batch, key
+                # abstract args: the live buffers were DONATED by the timed
+                # dispatches above and may be deleted
+                absarg = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
+                opt_t = jax.eval_shape(init_opt, params0)
+                ca2 = step.lower(absarg(params0), {}, opt_t, absarg(batch),
+                                 jax.ShapeDtypeStruct((2,), jnp.uint32)
                                  ).compile().cost_analysis()
                 ca2 = ca2[0] if isinstance(ca2, (list, tuple)) else ca2
                 step_flops = float(ca2["flops"])
