@@ -28,6 +28,29 @@ def make_bench_song(sr: int, seconds: float = 60.0) -> np.ndarray:
     return np.stack([mono, mono], axis=1)
 
 
+def stage_resident_song(sep, song_np: np.ndarray):
+    """Context-pad + wire-quantise + device_put a song for a resident sweep,
+    exactly as the engine's host path would stage it."""
+    import jax
+    import jax.numpy as jnp
+    padded = np.pad(song_np, [(sep.pad, sep.pad), (0, 0)])
+    if sep.cfg.infer_wire_dtype == "int16":
+        from waveunet_tpu.runtime import native
+        padded = native.quantize_int16(padded)
+    return jax.device_put(jnp.asarray(padded))
+
+
+def resident_rtf(res_fn, params, song_dev, seconds: float, k: int = 4
+                 ) -> float:
+    """Warm (compile) then time a ``resident_sweep`` program under the
+    standard pipelined value-fetch discipline; returns audio-s/s. One copy
+    of this harness (flagship + family rows in bench.py) — hand-rolled
+    duplicates desynchronise, see module docstring."""
+    float(res_fn(params, song_dev)[1])  # compile + warm
+    best = best_pipelined_s(lambda: res_fn(params, song_dev)[1], k=k)
+    return seconds / best
+
+
 def best_pipelined_s(dispatch, k: int, reps: int = 3) -> float:
     """Best-of-`reps` per-call seconds for `k` pipelined dispatches.
 

@@ -116,6 +116,19 @@ def main():
     gparams = load_tf_waveunet(
         os.path.join(golden_dir, "full_44khz_production", "model.ckpt"), base)
 
+    # U7 spectrogram golden (conv2d/transpose/BN/STFT/mask/iSTFT chain) —
+    # the device-parity question covers both families' conv lowerings.
+    from waveunet_tpu.compat.tf_checkpoint import load_tf_spectrogram
+    from waveunet_tpu.models.spectrogram_unet import apply_spectrogram_unet
+    sdir = os.path.join(repo, "tests", "golden", "spectro_tf")
+    sz = np.load(os.path.join(sdir, "golden.npz"))
+    scfg_base = dict(num_layers=3, num_frames=768 * 15 + 1024, batch_size=1,
+                     num_initial_filters=8)
+    sparams, sstate = load_tf_spectrogram(
+        os.path.join(sdir, "model.ckpt"),
+        get_config("unet_spectrogram", **scfg_base))
+    smix = jnp.asarray(sz["mix"])
+
     win_in, win_out = shapes.get_padding(base, 65536)
     x_fwd = jax.device_put(jnp.asarray(
         np.random.default_rng(1).standard_normal(
@@ -144,6 +157,20 @@ def main():
             max_d = max(max_d, float(np.abs(got - z[f"out_{name}"]).max()))
         rec["device_parity_max_abs_vs_tf_golden"] = max_d
         print(f"[{prec}] device parity vs TF golden: {max_d:.3e}", flush=True)
+
+        scfg = get_config("unet_spectrogram", conv_precision=prec,
+                          **scfg_base)
+        sfwd = jax.jit(lambda p, x: apply_spectrogram_unet(
+            p, scfg, x, training=False, state=sstate)[0])
+        sout = sfwd(sparams, smix)
+        smax_d = 0.0
+        for name in scfg.source_names:
+            got = np.asarray(sout[name])
+            smax_d = max(smax_d,
+                         float(np.abs(got - sz[f"out_{name}"]).max()))
+        rec["u7_device_parity_max_abs_vs_tf_golden"] = smax_d
+        print(f"[{prec}] U7 device parity vs TF golden: {smax_d:.3e}",
+              flush=True)
 
         # --- forward timing @ 65536 B16 ---
         fwd = jax.jit(lambda p, x: sum(
