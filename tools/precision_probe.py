@@ -187,8 +187,12 @@ def main():
 
         # --- train step timing @ 16384 B16 ---
         init_opt, step = make_train_step(cfg, cfg.init_sup_sep_lr)
-        # donated buffers: thread (params, opt) through the pipelined calls
-        pp = jax.device_put(params0)
+        # donated buffers: thread (params, opt) through the pipelined calls.
+        # MUST be a real copy — device_put of an already-committed array
+        # ALIASES the same buffer, and the step's donation would delete
+        # params0 out from under the next precision's forward (observed:
+        # "Array has been deleted" on iteration 2).
+        pp = jax.tree.map(jnp.copy, params0)
         opt = init_opt(pp)
         key = jax.random.PRNGKey(0)
         carry = {"p": pp, "s": {}, "o": opt}
@@ -209,6 +213,13 @@ def main():
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
             fwd_flops = float(ca["flops"])
             rec["flops_source"] = "device"
+            # HBM-bandwidth roof: if extra MXU passes are ~free the model is
+            # memory-bound and "GB/s vs the 819 GB/s v5e HBM peak" is the
+            # honest utilisation denominator, not MFU-vs-MXU-peak.
+            if "bytes accessed" in ca:
+                gb = float(ca["bytes accessed"]) / 1e9
+                rec["fwd_gb_accessed"] = round(gb, 2)
+                rec["fwd_gb_per_s"] = round(gb / s_fwd, 1)
         except Exception as e:  # axon remote compile may not expose it
             print(f"[{prec}] device cost_analysis unavailable ({e!r}); "
                   "computing on CPU backend", flush=True)
