@@ -316,14 +316,16 @@ def test_stitching_matches_serial_all_families(rng, preset, kw):
     # tail-only schedule: fewer windows than one device batch — the regime
     # the big-window resident-sweep probe points run in (11 windows @ B16
     # at 262144; the bench headline itself is 41 windows @ B16 = two full
-    # batches + an 8+1 tail)
+    # batches + an exact 9 tail)
     ("int16", 3),
 ])
 def test_resident_sweep_matches_host_stitch(rng, wire, n_win):
     """The single-program device-resident sweep (bench.py's
     tunnel-independent engine headline path) produces the production
-    host-stitched output: same chunk schedule, same wire round-trip, same
-    overlap semantics, difference source included."""
+    host-stitched output: same pow2 chunk schedule (except the sub-batch
+    song case, which runs one exact chunk — engine.py resident_sweep
+    docstring), same wire round-trip, same overlap semantics, difference
+    source included."""
     # difference output: the host-reconstruction path is covered too
     cfg = get_config("baseline", num_layers=3, num_frames=256, infer_batch=4,
                      infer_num_frames=None, infer_wire_dtype=wire,
@@ -333,8 +335,8 @@ def test_resident_sweep_matches_host_stitch(rng, wire, n_win):
 
     sep = Separator(cfg, params)
     pad = (in_len - out_len) // 2
-    # 13 windows: two full batches + the 4+1 split tail, right-aligned last;
-    # 3 windows: no full batch, pure 2+1 pow2 tail
+    # 13 windows: three full batches + a 1 tail, right-aligned last;
+    # 3 windows: no full batch — the single exact-3 chunk path
     n = out_len * (n_win - 1) + 31
     audio = (0.1 * rng.standard_normal((n, 1))).astype(np.float32)
     host = sep.separate(audio, cfg.expected_sr)

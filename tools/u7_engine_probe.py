@@ -1,0 +1,121 @@
+"""Localise the U7 resident-engine gap on the real chip.
+
+bench.py round 5 measured the U7 resident engine at ~5.7k audio-s/s while
+tools/u7_stage_probe.py had recorded a ~13.9k audio-s/s bare-forward roof.
+That older probe syncs via ``block_until_ready`` which has been OBSERVED
+RETURNING WITHOUT SYNCING over the axon tunnel (CLAUDE.md), so before chasing
+"engine overhead" this probe re-measures every stage with the trustworthy
+VALUE-fetch sync (the jitted fn returns a checksum scalar; float() on the
+last pipelined call bounds the batch):
+
+  fwd_bN      bare batched forward at each batch size the 60 s sweep uses
+  resident    the exact bench.py resident_sweep program
+  onechunk    resident variant with a single chunk of all n_win windows
+              (no [4,1] split, no lax.map grouping)
+  nostitch    forward sweep + checksum only (stitch/dequant/difference cut)
+
+Usage: python tools/u7_engine_probe.py [out.jsonl]
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else ".probes/u7_engine.jsonl"
+
+    import jax
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from tools.benchutil import (best_pipelined_s, make_bench_song,
+                                 resident_rtf, stage_resident_song)
+    from waveunet_tpu.config import get_config
+    from waveunet_tpu.infer.engine import Separator, window_positions
+    from waveunet_tpu.models.spectrogram_unet import init_spectrogram_unet
+
+    seconds = 60.0
+    cfg = get_config("unet_spectrogram", infer_batch=8,
+                     infer_wire_dtype="int16")
+    params, state = init_spectrogram_unet(jax.random.PRNGKey(0), cfg)
+    sep = Separator(cfg, params, model_state=state)
+    song = make_bench_song(cfg.expected_sr, seconds)[:, :1]
+    song_dev = stage_resident_song(sep, song)
+    n_total = len(song)
+    positions = window_positions(n_total, sep.out_len).astype(np.int32)
+    n_win = int(positions.shape[0])
+    rec = {"platform": jax.devices()[0].platform, "n_win": n_win,
+           "chunks": sep._chunk_sizes(n_win), "out_len": sep.out_len}
+
+    # bare batched forward at each batch size, value-fetch synced
+    def fwd_checksum(b):
+        pos = jnp.asarray(positions[:b])
+
+        def fn(p, song):
+            outs = sep._fwd(p, song, pos)
+            return sum(jnp.sum(v.astype(jnp.float32)) for v in outs.values())
+        jit_fn = jax.jit(fn)
+        float(jit_fn(params, song_dev))  # compile + warm
+        s = best_pipelined_s(lambda: jit_fn(params, song_dev), k=4)
+        return s
+
+    for b in sorted({1, 4, n_win, cfg.infer_batch}):
+        s = fwd_checksum(b)
+        rec[f"fwd_b{b}_ms"] = round(s * 1e3, 2)
+        rec[f"fwd_b{b}_audio_s_per_s"] = round(b * sep.out_len
+                                               / cfg.expected_sr / s, 1)
+
+    # the exact bench resident program
+    res_fn, _ = sep.resident_sweep(n_total)
+    rtf = resident_rtf(res_fn, params, song_dev, seconds)
+    rec["resident_audio_s_per_s"] = round(rtf, 1)
+    rec["resident_ms"] = round(seconds / rtf * 1e3, 2)
+
+    # single-chunk variant: all n_win windows in ONE batched forward
+    saved = sep._chunk_sizes
+    try:
+        sep._chunk_sizes = lambda n: [n]
+        one_fn, _ = sep.resident_sweep(n_total)
+        rtf1 = resident_rtf(one_fn, params, song_dev, seconds)
+        rec["onechunk_audio_s_per_s"] = round(rtf1, 1)
+        rec["onechunk_ms"] = round(seconds / rtf1 * 1e3, 2)
+    finally:
+        sep._chunk_sizes = saved
+
+    # forward sweep only (production chunk schedule, no stitch/diff/dequant)
+    sizes = sep._chunk_sizes(n_win)
+    pos_pad = np.full((sum(sizes),), positions[-1], np.int32)
+    pos_pad[:n_win] = positions
+
+    def nostitch(p, song):
+        total = jnp.float32(0)
+        off = 0
+        for k in sizes:
+            pos = jnp.asarray(pos_pad[off:off + k])
+            outs = sep._fwd(p, song, pos)
+            total = total + sum(jnp.sum(v.astype(jnp.float32))
+                                for v in outs.values())
+            off += k
+        return total
+    ns_fn = jax.jit(nostitch)
+    float(ns_fn(params, song_dev))
+    s = best_pipelined_s(lambda: ns_fn(params, song_dev), k=4)
+    rec["nostitch_ms"] = round(s * 1e3, 2)
+    rec["nostitch_audio_s_per_s"] = round(seconds / s, 1)
+
+    print(json.dumps(rec))
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

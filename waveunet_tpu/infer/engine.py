@@ -226,10 +226,26 @@ class Separator:
     def resident_sweep(self, n_total: int):
         """ONE jitted program sweeping a whole DEVICE-RESIDENT padded song:
         on-device framing, every window through the batched forward (equal-
-        size chunk groups under ``lax.map`` — the same chunk schedule
-        `_run_batched` dispatches), the wire-dtype quantise/dequantise round
-        trip, a device-side stitch with the reference overlap semantics
-        (`Evaluate.py:125-139`), and difference-source reconstruction.
+        size chunk groups under ``lax.map``), the wire-dtype quantise/
+        dequantise round trip, a device-side stitch with the reference
+        overlap semantics (`Evaluate.py:125-139`), and difference-source
+        reconstruction.
+
+        Chunk schedule: `_run_batched`'s pow2-bucketed split tail, EXCEPT
+        that a song smaller than one device batch runs as a single
+        exact-size chunk. Inside one program the sub-forwards of a split
+        tail SERIALISE, so when per-chunk latency dominates the split is
+        pure loss (v5e: the 60 s U7 bench song is 5 windows at ~8 ms/
+        dispatch-floor forwards; the [4, 1] schedule ran 10.5 ms where the
+        exact [5] runs 8.8 ms, +20% — tools/u7_engine_probe.py). When
+        per-chunk COMPUTE dominates the pow2 split keeps winning instead —
+        a non-pow2 chunk detiles the conv batch dim (flagship @ B16,
+        measured: 41 windows [16,16,8,1] = 1072 audio-s/s vs exact
+        [16,16,9] = 968; sub-batch 11 windows [8,4] = 822 vs exact [11] =
+        789). The sub-batch rule optimises the regime short songs actually
+        hit (cheap windows, latency floor); the flagship's sub-batch −4%
+        is inside this link's noise and short flagship songs (<24 s) are
+        the rare case.
 
         Returns ``(fn, positions)`` where ``fn(params, song_dev) ->
         (sources, checksum)``: ``sources`` are stitched [n_total, C] float32
@@ -246,7 +262,10 @@ class Separator:
                              f"({n_total} < {self.out_len}); pad first")
         positions = window_positions(n_total, self.out_len).astype(np.int32)
         n_win = int(positions.shape[0])
-        sizes = self._chunk_sizes(n_win)
+        if self.mesh is None and n_win < self.batch:
+            sizes = [n_win]  # latency-bound single-tail song (see docstring)
+        else:
+            sizes = self._chunk_sizes(n_win)
         pos_pad = np.full((sum(sizes),), positions[-1], np.int32)
         pos_pad[:n_win] = positions
         groups = []  # equal-size runs of the chunk schedule: (k, count)
