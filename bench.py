@@ -34,13 +34,12 @@ import time
 
 import numpy as np
 
-# Flagship forward cost from XLA cost-analysis at the production window
-# (65536 @ B16): 601.2 GFLOP/batch = 25.3 GFLOP per audio-second (identical
-# across MXU precision modes — cost analysis counts logical FLOPs, not bf16
-# passes). tools/precision_probe.py measures/records this; v5e bf16 peak is
-# 197 TFLOP/s.
+# Fallback flagship forward cost when the backend exposes no cost analysis:
+# measured at the production window (65536 @ B16) as 601.2 GFLOP/batch =
+# 25.3 GFLOP per audio-second (identical across MXU precision modes — cost
+# analysis counts logical FLOPs, not bf16 passes; tools/precision_probe.py).
+# The live number is derived from the compiled forward below.
 FLAGSHIP_GFLOP_PER_AUDIO_S = 25.3
-PEAK_BF16_TFLOPS = 197.0
 
 
 def _timed(sep, song, sr):
@@ -56,8 +55,9 @@ def main():
     import jax
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tools.benchutil import (best_pipelined_s, make_bench_song,
-                                 resident_rtf, stage_resident_song)
+    from tools.benchutil import (PEAK_BF16_TFLOPS, best_pipelined_s,
+                                 flops_of, make_bench_song, resident_rtf,
+                                 stage_resident_song)
 
     # Persistent compile cache: repeated bench runs skip the 20-40 s XLA
     # compiles entirely.
@@ -169,6 +169,17 @@ def main():
     roof_best = best_pipelined_s(lambda: fwd(params, x), k=8)
     roof = cfg.infer_batch * win_out / sr / roof_best
     partial["compute_roof_audio_s_per_s"] = round(roof, 1)
+
+    # MFU numerator from the compiled forward itself, so a model-graph or
+    # window change can't silently stale the published TFLOP/s row; the
+    # recorded constant only backstops backends without cost analysis.
+    try:
+        gflop_per_audio_s = (flops_of(fwd, params, x) / 1e9
+                             / (cfg.infer_batch * win_out / sr))
+        partial["flagship_flops_source"] = "cost-analysis"
+    except Exception:
+        gflop_per_audio_s = FLAGSHIP_GFLOP_PER_AUDIO_S
+        partial["flagship_flops_source"] = "recorded-constant"
 
     # HEADLINE: tunnel-independent full-engine sweep on the device-resident
     # song (see module docstring). Parity with the host-stitched production
@@ -297,10 +308,11 @@ def main():
         "serial_resident_audio_s_per_s": round(serial_resident, 1),
         "compute_roof_audio_s_per_s": round(roof, 1),
         "flagship_tflops_per_s": round(
-            engine_resident * FLAGSHIP_GFLOP_PER_AUDIO_S / 1e3, 1),
+            engine_resident * gflop_per_audio_s / 1e3, 1),
         "flagship_mfu_vs_bf16_peak": round(
-            engine_resident * FLAGSHIP_GFLOP_PER_AUDIO_S / 1e3
+            engine_resident * gflop_per_audio_s / 1e3
             / PEAK_BF16_TFLOPS, 3),
+        "flagship_flops_source": partial.get("flagship_flops_source"),
         "m6_resident_audio_s_per_s": round(m6_rtf, 1),
         "u7_resident_audio_s_per_s": round(u7_rtf, 1),
         "n_devices": jax.device_count(),

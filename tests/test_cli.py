@@ -365,3 +365,37 @@ def test_zoo_checkpoint_resolver(tmp_path):
     (d / "full_44KHz-bad.index").touch()  # non-integer step — ignored
     got = cli._resolve_zoo_tf_checkpoint(cfg, "full_44KHz")
     assert got == str(d / "full_44KHz-236118")
+
+
+def test_predict_zoo_default_end_to_end(tmp_path, capsys):
+    """predict with NO checkpoint= separates via the zoo TF checkpoint under
+    model_base_dir/<preset>/ (Predict.py:10's default) — and an explicit
+    ``random_init=0`` behaves like the flag being absent (it previously
+    disabled the fallback and then hard-errored)."""
+    import shutil
+
+    golden = os.path.join(os.path.dirname(__file__), "golden", "waveunet_tf",
+                          "same_linear_direct_mono", "model.ckpt")
+    if not os.path.exists(golden + ".index"):
+        pytest.skip("golden TF checkpoint missing")
+    zoo = tmp_path / "zoo" / "baseline"
+    zoo.mkdir(parents=True)
+    shutil.copy(golden + ".index", zoo / "baseline-1000.index")
+    shutil.copy(golden + ".data-00000-of-00001",
+                zoo / "baseline-1000.data-00000-of-00001")
+
+    conv_args = ["num_layers=3", "num_frames=512", "num_initial_filters=8"]
+    sr = get_config("baseline").expected_sr
+    mix = (0.1 * np.random.default_rng(0).standard_normal((sr, 1))
+           ).astype(np.float32)
+    src = str(tmp_path / "m.wav")
+    write_wav(src, mix, sr)
+    for extra in ([], ["random_init=0"]):
+        out_dir = tmp_path / ("out_ri0" if extra else "out")
+        cli.main(["predict", "baseline"] + conv_args + extra
+                 + [f"input_path={src}",
+                    f"model_base_dir={tmp_path / 'zoo'}",
+                    f"output_path={out_dir}"])
+        assert "using zoo checkpoint" in capsys.readouterr().out
+        y, ysr = load(str(out_dir / "m.wav_vocals.wav"), sr=None, mono=False)
+        assert ysr == sr and y.shape[0] == mix.shape[0]

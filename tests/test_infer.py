@@ -313,10 +313,10 @@ def test_stitching_matches_serial_all_families(rng, preset, kw):
 
 @pytest.mark.parametrize("wire,n_win", [
     ("float32", 13), ("int16", 13),
-    # tail-only schedule: fewer windows than one device batch — the regime
-    # the big-window resident-sweep probe points run in (11 windows @ B16
-    # at 262144; the bench headline itself is 41 windows @ B16 = two full
-    # batches + an exact 9 tail)
+    # sub-batch song: fewer windows than one device batch, so the engine
+    # runs one exact-size chunk instead of the pow2 split tail (the regime
+    # the U7 bench row and the big-window probe points hit; the 41-window
+    # flagship headline keeps the pow2 [16,16,8,1] schedule)
     ("int16", 3),
 ])
 def test_resident_sweep_matches_host_stitch(rng, wire, n_win):

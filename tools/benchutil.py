@@ -13,6 +13,26 @@ import time
 
 import numpy as np
 
+# v5e bf16 MXU peak, the MFU denominator shared by bench.py and
+# tools/precision_probe.py (the HBM roof those files also quote is 819 GB/s).
+PEAK_BF16_TFLOPS = 197.0
+
+
+def flops_of(lowerable, *args) -> float:
+    """Logical FLOPs of one call of a jitted fn via XLA cost analysis.
+
+    Lowers with ShapeDtypeStructs (live buffers may have been donated by
+    timed dispatches — CLAUDE.md aliasing hazard) and tolerates the
+    list-wrapped cost_analysis some backends return. Raises if the backend
+    exposes no cost analysis; callers fall back to a recorded constant.
+    """
+    import jax
+    abs_args = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args)
+    ca = lowerable.lower(*abs_args).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return float(ca["flops"])
+
 
 def make_bench_song(sr: int, seconds: float = 60.0) -> np.ndarray:
     """The canonical bench song: 440 Hz sine + noise, stereo, float32.

@@ -35,10 +35,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# v5e (TPU v5 lite) peak: 197 TFLOP/s bf16. fp32 via K bf16 passes has an
-# effective peak of 197/K; MFU here is always reported against the bf16 peak
-# so numbers are comparable across precisions.
-PEAK_BF16_TFLOPS = 197.0
+# v5e (TPU v5 lite) peak: 197 TFLOP/s bf16 (tools/benchutil.py, shared with
+# bench.py). fp32 via K bf16 passes has an effective peak of 197/K; MFU here
+# is always reported against the bf16 peak so numbers are comparable across
+# precisions.
+from tools.benchutil import PEAK_BF16_TFLOPS  # noqa: E402
 
 PRECISIONS = ["default", "high", "highest"]
 

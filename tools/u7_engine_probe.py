@@ -9,9 +9,13 @@ VALUE-fetch sync (the jitted fn returns a checksum scalar; float() on the
 last pipelined call bounds the batch):
 
   fwd_bN      bare batched forward at each batch size the 60 s sweep uses
-  resident    the exact bench.py resident_sweep program
-  onechunk    resident variant with a single chunk of all n_win windows
-              (no [4,1] split, no lax.map grouping)
+              (batches larger than n_win are padded with repeats of the
+              last position so the timed program really is batch N)
+  resident    the exact bench.py resident_sweep program (production
+              schedule: one exact chunk for this sub-batch song)
+  pow2split   resident variant forced onto _chunk_sizes' pow2 split tail
+              (the pre-round-5 schedule; kept to quantify the serialised-
+              sub-forward cost this probe originally localised)
   nostitch    forward sweep + checksum only (stitch/dequant/difference cut)
 
 Usage: python tools/u7_engine_probe.py [out.jsonl]
@@ -52,12 +56,17 @@ def main():
     n_total = len(song)
     positions = window_positions(n_total, sep.out_len).astype(np.int32)
     n_win = int(positions.shape[0])
+    pow2_sizes = sep._chunk_sizes(n_win)
+    prod_sizes = [n_win] if n_win < cfg.infer_batch else pow2_sizes
     rec = {"platform": jax.devices()[0].platform, "n_win": n_win,
-           "chunks": sep._chunk_sizes(n_win), "out_len": sep.out_len}
+           "chunks": prod_sizes, "pow2_chunks": pow2_sizes,
+           "out_len": sep.out_len}
 
     # bare batched forward at each batch size, value-fetch synced
     def fwd_checksum(b):
-        pos = jnp.asarray(positions[:b])
+        pos_np = np.full((b,), positions[-1], np.int32)
+        pos_np[:min(b, n_win)] = positions[:b]
+        pos = jnp.asarray(pos_np)
 
         def fn(p, song):
             outs = sep._fwd(p, song, pos)
@@ -79,19 +88,16 @@ def main():
     rec["resident_audio_s_per_s"] = round(rtf, 1)
     rec["resident_ms"] = round(seconds / rtf * 1e3, 2)
 
-    # single-chunk variant: all n_win windows in ONE batched forward
-    saved = sep._chunk_sizes
-    try:
-        sep._chunk_sizes = lambda n: [n]
-        one_fn, _ = sep.resident_sweep(n_total)
-        rtf1 = resident_rtf(one_fn, params, song_dev, seconds)
-        rec["onechunk_audio_s_per_s"] = round(rtf1, 1)
-        rec["onechunk_ms"] = round(seconds / rtf1 * 1e3, 2)
-    finally:
-        sep._chunk_sizes = saved
+    # pow2-split variant: the pre-round-5 schedule, via the explicit
+    # chunk_sizes override (the production path no longer splits sub-batch
+    # songs, so this is the A/B the sub-batch rule rests on)
+    pow2_fn, _ = sep.resident_sweep(n_total, chunk_sizes=pow2_sizes)
+    rtf2 = resident_rtf(pow2_fn, params, song_dev, seconds)
+    rec["pow2split_audio_s_per_s"] = round(rtf2, 1)
+    rec["pow2split_ms"] = round(seconds / rtf2 * 1e3, 2)
 
     # forward sweep only (production chunk schedule, no stitch/diff/dequant)
-    sizes = sep._chunk_sizes(n_win)
+    sizes = prod_sizes
     pos_pad = np.full((sum(sizes),), positions[-1], np.int32)
     pos_pad[:n_win] = positions
 

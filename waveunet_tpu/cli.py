@@ -218,8 +218,8 @@ def _dataset_eval(jax, cfg, opts, checkpoint, subset, output_path):
                    tpu_bss=_parse_tpu_bss(opts),
                    shard_index=shard_index, shard_count=shard_count,
                    aggregate=not pod,
-                   self_check=opts.get("self_check", "1") not in ("0",
-                                                                  "false"))
+                   self_check=opts.get("self_check", "1").lower()
+                   not in ("0", "false"))
     if pod:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("waveunet_dataset_eval")
@@ -383,7 +383,7 @@ def cmd_predict(args):
         print("predict requires input_path=<audio file>", file=sys.stderr)
         sys.exit(2)
     checkpoint = opts.get("checkpoint")
-    if checkpoint is None and "random_init" not in opts:
+    if checkpoint is None and not _random_ok(opts):
         preset = next((a for a in cfg_frags if "=" not in a), "baseline")
         zoo = _resolve_zoo_tf_checkpoint(cfg, preset)
         if zoo is not None:

@@ -223,7 +223,7 @@ class Separator:
                 _run_one(slab, k, "slab")
         return count
 
-    def resident_sweep(self, n_total: int):
+    def resident_sweep(self, n_total: int, chunk_sizes=None):
         """ONE jitted program sweeping a whole DEVICE-RESIDENT padded song:
         on-device framing, every window through the batched forward (equal-
         size chunk groups under ``lax.map``), the wire-dtype quantise/
@@ -262,7 +262,12 @@ class Separator:
                              f"({n_total} < {self.out_len}); pad first")
         positions = window_positions(n_total, self.out_len).astype(np.int32)
         n_win = int(positions.shape[0])
-        if self.mesh is None and n_win < self.batch:
+        if chunk_sizes is not None:  # probe override (tools/u7_engine_probe)
+            sizes = list(chunk_sizes)
+            if sum(sizes) < n_win:
+                raise ValueError(f"chunk_sizes {sizes} cover {sum(sizes)} "
+                                 f"< {n_win} windows")
+        elif self.mesh is None and n_win < self.batch:
             sizes = [n_win]  # latency-bound single-tail song (see docstring)
         else:
             sizes = self._chunk_sizes(n_win)
