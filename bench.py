@@ -66,6 +66,16 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    # BENCH_SMOKE=1: the identical code path on the CPU backend with tiny
+    # models and a short song, so tests can regression-guard the bench's
+    # machinery and JSON schema without the TPU (tests/test_bench_smoke.py).
+    # Numbers from a smoke run are meaningless — schema-only.
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    if smoke:
+        # env-var platform selection does not stick on this host (the axon
+        # plugin claims the backend first) — pin in-process, CLAUDE.md.
+        jax.config.update("jax_platforms", "cpu")
+
     UNIT = ("audio-s/s/chip (full_44KHz engine, device-resident, "
             "tunnel-independent)")
 
@@ -136,12 +146,16 @@ def main():
     # training window for 3.0x: best point of both the on-chip resident sweep
     # (1072 vs 992/822 at 131072/262144 — engine overhead grows with window
     # size in the one-program form, DESIGN.md §1) and the tunnel e2e grid.
-    cfg = get_config("full_44KHz", infer_num_frames=65536, infer_batch=16,
-                     infer_wire_dtype="int16")
+    tiny = (dict(num_layers=3, num_frames=1024, num_initial_filters=4)
+            if smoke else {})
+    cfg = get_config("full_44KHz",
+                     infer_num_frames=(2048 if smoke else 65536),
+                     infer_batch=(4 if smoke else 16),
+                     infer_wire_dtype="int16", **tiny)
     in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
     params = init_waveunet(jax.random.PRNGKey(0), cfg)
 
-    seconds = 60.0
+    seconds = 4.0 if smoke else 60.0
     sr = cfg.expected_sr
     song = make_bench_song(sr, seconds)
 
@@ -169,17 +183,6 @@ def main():
     roof_best = best_pipelined_s(lambda: fwd(params, x), k=8)
     roof = cfg.infer_batch * win_out / sr / roof_best
     partial["compute_roof_audio_s_per_s"] = round(roof, 1)
-
-    # MFU numerator from the compiled forward itself, so a model-graph or
-    # window change can't silently stale the published TFLOP/s row; the
-    # recorded constant only backstops backends without cost analysis.
-    try:
-        gflop_per_audio_s = (flops_of(fwd, params, x) / 1e9
-                             / (cfg.infer_batch * win_out / sr))
-        partial["flagship_flops_source"] = "cost-analysis"
-    except Exception:
-        gflop_per_audio_s = FLAGSHIP_GFLOP_PER_AUDIO_S
-        partial["flagship_flops_source"] = "recorded-constant"
 
     # HEADLINE: tunnel-independent full-engine sweep on the device-resident
     # song (see module docstring). Parity with the host-stitched production
@@ -214,8 +217,10 @@ def main():
     # tests/test_infer.py::test_resident_sweep_spectrogram_family and the
     # engine-vs-reference stitch tests.
     phase["name"] = "family-m6-resident"
-    m6_cfg = get_config("full_multi_instrument", infer_num_frames=65536,
-                        infer_batch=16, infer_wire_dtype="int16")
+    m6_cfg = get_config("full_multi_instrument",
+                        infer_num_frames=(2048 if smoke else 65536),
+                        infer_batch=(4 if smoke else 16),
+                        infer_wire_dtype="int16", **tiny)
     m6_sep = Separator(m6_cfg, init_waveunet(jax.random.PRNGKey(0), m6_cfg))
     m6_song = make_bench_song(m6_cfg.expected_sr, seconds)
     m6_fn, _ = m6_sep.resident_sweep(len(m6_song))
@@ -225,8 +230,11 @@ def main():
 
     phase["name"] = "family-u7-resident"
     from waveunet_tpu.models.spectrogram_unet import init_spectrogram_unet
-    u7_cfg = get_config("unet_spectrogram", infer_batch=8,
-                        infer_wire_dtype="int16")
+    u7_tiny = (dict(num_layers=3, num_frames=768 * 15 + 1024,
+                    num_initial_filters=4) if smoke else {})
+    u7_cfg = get_config("unet_spectrogram",
+                        infer_batch=(2 if smoke else 8),
+                        infer_wire_dtype="int16", **u7_tiny)
     u7_params, u7_state = init_spectrogram_unet(jax.random.PRNGKey(0), u7_cfg)
     u7_sep = Separator(u7_cfg, u7_params, model_state=u7_state)
     # U7 is mono (mono_downmix): stage the downmixed song, as separate() would
@@ -244,7 +252,7 @@ def main():
     fwd1_full = jax.jit(lambda p, x: apply_waveunet(p, cfg, x,
                                                     training=False))
     pad = (in_len - out_len) // 2
-    base_seconds = 15.0
+    base_seconds = 2.0 if smoke else 15.0
     bn = int(base_seconds * sr)
     padded = np.pad(song[:bn], [(pad, pad), (0, 0)])
     positions = [min(p0, bn - out_len) for p0 in range(0, bn, out_len)]
@@ -271,7 +279,7 @@ def main():
     # pairs always run; more accumulate until BUDGET_S of timing wall-clock
     # (cap REPS_MAX), so fast links buy more samples and slow links still
     # terminate promptly.
-    REPS_MIN, REPS_MAX = 14, 40
+    REPS_MIN, REPS_MAX = (2, 2) if smoke else (14, 40)
     phase["name"] = "interleaved-reps"
     engine_times, serial_times = [], []
     t_start = time.perf_counter()
@@ -295,6 +303,21 @@ def main():
     # median of per-pair speedups is the most drift-resistant single number
     pair_ratios = sorted((seconds / e) / (base_seconds / s)
                          for e, s in zip(engine_times, serial_times))
+
+    # MFU numerator from the compiled forward itself, so a model-graph or
+    # window change can't silently stale the published TFLOP/s row; the
+    # recorded constant only backstops backends without cost analysis.
+    # LAST measurement phase: the lower/compile/cost-analysis trip goes
+    # through the remote compile helper, so if the tunnel dies here the
+    # watchdog report still carries every timing partial above.
+    phase["name"] = "flop-accounting"
+    try:
+        gflop_per_audio_s = (flops_of(fwd, params, x) / 1e9
+                             / (cfg.infer_batch * win_out / sr))
+        partial["flagship_flops_source"] = "cost-analysis"
+    except Exception:
+        gflop_per_audio_s = FLAGSHIP_GFLOP_PER_AUDIO_S
+        partial["flagship_flops_source"] = "recorded-constant"
 
     # Disarm the watchdog BEFORE printing: a deadline firing between/within
     # the success print and done.set() would emit a second, contradictory
@@ -331,6 +354,9 @@ def main():
             serial_sorted[len(serial_sorted) // 2], 4),
         "e2e_serial_spread": round(serial_sorted[-1] / serial_sorted[0], 2),
         "e2e_reps": REPS,
+        # unmistakeable marker so a smoke artifact can never be read as a
+        # real measurement
+        **({"smoke": True} if smoke else {}),
     }))
 
 
