@@ -237,7 +237,7 @@ class Separator:
         tail SERIALISE, so when per-chunk latency dominates the split is
         pure loss (v5e: the 60 s U7 bench song is 5 windows at ~8 ms/
         dispatch-floor forwards; the [4, 1] schedule ran 10.5 ms where the
-        exact [5] runs 8.8 ms, +20% — tools/u7_engine_probe.py). When
+        exact [5] runs 8.8 ms, +20% — tools/engine_probe.py). When
         per-chunk COMPUTE dominates the pow2 split keeps winning instead —
         a non-pow2 chunk detiles the conv batch dim (flagship @ B16,
         measured: 41 windows [16,16,8,1] = 1072 audio-s/s vs exact
@@ -262,7 +262,7 @@ class Separator:
                              f"({n_total} < {self.out_len}); pad first")
         positions = window_positions(n_total, self.out_len).astype(np.int32)
         n_win = int(positions.shape[0])
-        if chunk_sizes is not None:  # probe override (tools/u7_engine_probe)
+        if chunk_sizes is not None:  # probe override (tools/engine_probe)
             sizes = list(chunk_sizes)
             if sum(sizes) < n_win:
                 raise ValueError(f"chunk_sizes {sizes} cover {sum(sizes)} "
