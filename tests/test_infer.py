@@ -360,6 +360,34 @@ def test_resident_sweep_matches_host_stitch(rng, wire, n_win):
                                    err_msg=s)
 
 
+def test_resident_sweep_chunk_sizes_override(rng):
+    """The explicit chunk_sizes override (tools/engine_probe.py's pow2split
+    A/B) matches the production schedule's output for any covering schedule
+    (to fp reduction-order noise — conv batch size changes the summation
+    order, ~1e-8), and rejects schedules that under-cover the windows."""
+    cfg = get_config("baseline", num_layers=3, num_frames=256, infer_batch=4,
+                     infer_num_frames=None, output_type="difference")
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+    sep = Separator(cfg, params)
+    pad = (in_len - out_len) // 2
+    n = out_len * 2 + 17  # 3 windows
+    audio = (0.1 * rng.standard_normal((n, 1))).astype(np.float32)
+    padded = jnp.asarray(np.pad(audio, [(pad, pad), (0, 0)]))
+
+    prod_fn, _ = sep.resident_sweep(n)  # production: single exact [3] chunk
+    base, _ = prod_fn(params, padded)
+    for sizes in ([2, 1], [4]):  # forced pow2 split / padded over-cover
+        alt_fn, _ = sep.resident_sweep(n, chunk_sizes=sizes)
+        out, _ = alt_fn(params, padded)
+        for s in cfg.source_names:
+            np.testing.assert_allclose(np.asarray(out[s]),
+                                       np.asarray(base[s]), atol=1e-6,
+                                       err_msg=f"{sizes} {s}")
+    with pytest.raises(ValueError, match="cover"):
+        sep.resident_sweep(n, chunk_sizes=[2])
+
+
 def test_resident_sweep_too_short_raises(rng):
     cfg = get_config("baseline", num_layers=3, num_frames=256,
                      infer_num_frames=None)
