@@ -36,11 +36,13 @@ test:
 test-fast:
 	python -m pytest tests/ -q -x -k "not full_stack and not integration and not compat"
 
-# Fast end-to-end confidence: the multi-chip dry run plus the two product
-# runbook smokes (make-quality and make-parity pipelines at toy scale).
+# Fast end-to-end confidence: the multi-chip dry run, the two product
+# runbook smokes (make-quality and make-parity pipelines at toy scale), and
+# the bench machinery on CPU (schema + all phases, tiny models).
 smoke:
 	python __graft_entry__.py
-	python -m pytest tests/test_quality_tool.py tests/test_parity_tool.py -q
+	python -m pytest tests/test_quality_tool.py tests/test_parity_tool.py \
+	  tests/test_bench_smoke.py -q
 
 bench:
 	python bench.py
