@@ -91,6 +91,35 @@ def test_json_roundtrip_and_aggregate(tmp_path, rng):
     np.testing.assert_allclose(mean, 3.5)
 
 
+@pytest.mark.parametrize("payload", [
+    "{", "null", "[]", '"str"',
+    '{"targets": ["not-a-dict"]}',
+    '{"targets": [{"name": "vocals", "frames": [{"metrics": {"SDR": "x"}}]}]}',
+])
+def test_aggregate_malformed_json_names_the_file(tmp_path, payload):
+    """A stray/corrupt JSON in the results folder (aborted run, foreign tool)
+    must raise a ValueError naming the file, not a bare AttributeError from
+    deep inside the walk (found by fuzzing)."""
+    (tmp_path / "bad.json").write_text(payload)
+    with pytest.raises(ValueError, match="bad.json"):
+        compute_mean_metrics(str(tmp_path))
+
+
+def test_aggregate_tolerates_missing_sections(tmp_path):
+    """Absent/null targets/frames/metrics sections are treated as empty —
+    same leniency as the existing targets default."""
+    (tmp_path / "a.json").write_text('{"targets": null}')
+    (tmp_path / "b.json").write_text(
+        '{"targets": [{"name": "vocals", "frames": null}]}')
+    (tmp_path / "c.json").write_text(
+        '{"targets": [{"name": "vocals", '
+        '"frames": [{"metrics": {"SDR": 2.0}}, {"metrics": null}]}]}')
+    stats, names = compute_mean_metrics(str(tmp_path), return_names=True)
+    assert names == ["vocals"]
+    med = stats[0][0]
+    np.testing.assert_allclose(med, 2.0)  # null metrics frame -> NaN
+
+
 def test_harness_on_synthetic_track(tmp_path, rng):
     """End-to-end: WAV-layout dataset dir -> evaluate_musdb with an untrained
     tiny model produces JSONs + aggregate stats."""

@@ -57,13 +57,23 @@ def compute_mean_metrics(json_folder: str, compute_averages: bool = True,
         # named *test (e.g. "soundtest.json") from the aggregates
         if os.path.basename(path) == "test.json":
             continue
-        with open(path) as f:
-            js = json.load(f)
-        for i, tgt in enumerate(js.get("targets", [])):
-            vals = inst.setdefault(str(tgt.get("name", f"target_{i}")), [])
-            for frame in tgt["frames"]:
-                v = frame["metrics"].get(metric)
-                vals.append(np.nan if v is None else float(v))
+        # Malformed/foreign files must name themselves: a results folder can
+        # collect stray JSONs (aborted runs, other tools), and a bare
+        # AttributeError from deep inside the walk gives the user nothing to
+        # delete (found by fuzzing).
+        try:
+            with open(path) as f:
+                js = json.load(f)
+            for i, tgt in enumerate(js.get("targets", []) or []):
+                vals = inst.setdefault(str(tgt.get("name", f"target_{i}")),
+                                       [])
+                for frame in tgt.get("frames") or []:
+                    v = (frame.get("metrics") or {}).get(metric)
+                    vals.append(np.nan if v is None else float(v))
+        except (json.JSONDecodeError, AttributeError, TypeError,
+                ValueError) as e:
+            raise ValueError(
+                f"malformed track-results JSON {path!r}: {e}") from e
     names = list(inst)
     arrays = [np.asarray(v, dtype=np.float64) for v in inst.values()]
     if compute_averages:
