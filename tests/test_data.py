@@ -178,6 +178,36 @@ def test_device_bank_target_crop(tmp_path):
     assert b["vocals"].shape[1] == out_len
 
 
+def test_device_bank_skips_corrupt_shard(tmp_path, cfg, capsys):
+    """A cache shard that rotted on disk after preparation (partial write,
+    bit flips) is skipped with a warning naming the file — the bank builds
+    from the surviving songs instead of dying inside zipfile internals
+    (mirrors the host pipeline's corrupt-skip; found by fuzzing)."""
+    import glob
+
+    import jax
+    from waveunet_tpu.data import cache
+    from waveunet_tpu.data.device_cache import DeviceBank
+
+    _synthetic_dataset(tmp_path / "wavs", cfg)
+    cache.prepare_dataset(cfg, 0)
+    shards = sorted(glob.glob(os.path.join(
+        cache.partition_dir(cfg, "train"), "*.npz")))
+    assert len(shards) >= 2
+    with open(shards[0], "r+b") as f:  # clobber the zip central directory
+        f.seek(0, 2)
+        end = f.tell()
+        f.seek(max(0, end - 64))
+        f.write(b"\x00" * min(64, end))
+    with pytest.raises(ValueError, match="corrupt cache shard"):
+        cache.load_song(shards[0])
+    bank = DeviceBank(cfg, "train", cfg.num_frames, cfg.num_frames,
+                      batch_size=2)
+    b = next(bank.batches(jax.random.PRNGKey(0)))
+    assert b["mix"].shape[0] == 2
+    assert "skipping" in capsys.readouterr().out
+
+
 def test_device_bank_budget(tmp_path, cfg):
     from waveunet_tpu.data.device_cache import DeviceBank
 

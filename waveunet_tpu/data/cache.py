@@ -47,8 +47,16 @@ def write_song(path: str, tracks: Dict[str, np.ndarray]):
 
 
 def load_song(path: str) -> Dict[str, np.ndarray]:
-    with np.load(path) as z:
-        return {k: z[k] for k in z.files}
+    # A shard that prepared cleanly can still rot on disk (partial write on
+    # a crash mid-copy, bit flips); np.load surfaces that as zipfile/pickle
+    # internals (BadZipFile, EOFError, ...) with no path. Normalise to a
+    # ValueError naming the shard so callers can skip-and-warn uniformly
+    # (pipeline reader, device banks) — found by fuzzing.
+    try:
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    except Exception as e:
+        raise ValueError(f"corrupt cache shard {path!r}: {e}") from e
 
 
 def list_songs(cfg: Config, partition: str) -> List[str]:

@@ -162,7 +162,11 @@ class DeviceBank:
         starts, valids = [], []
         offset = 0
         for p in paths:
-            tracks = cache.load_song(p)
+            try:
+                tracks = cache.load_song(p)
+            except ValueError as e:  # rotted shard: skip like the pipeline
+                print(f"WARNING: {e}; skipping")
+                continue
             length = tracks["mix"].shape[0]
             if length < input_len:
                 continue
@@ -304,7 +308,11 @@ class ShardedBank:
             starts, valids = [], []
             offset = 0
             for p in my_paths:
-                tracks = load_song(p)
+                try:
+                    tracks = load_song(p)
+                except ValueError as e:  # rotted shard: skip-and-warn
+                    print(f"WARNING: {e}; skipping")
+                    continue
                 length = tracks["mix"].shape[0]
                 if length < input_len:
                     continue
@@ -504,7 +512,11 @@ class EvalBank:
         positions: List[np.ndarray] = []
         offset = 0
         for p in paths:
-            tracks = cache.load_song(p)
+            try:
+                tracks = cache.load_song(p)
+            except ValueError as e:  # rotted shard: skip-and-warn
+                print(f"WARNING: {e}; skipping")
+                continue
             length = tracks["mix"].shape[0]
             if length < input_len:
                 continue
