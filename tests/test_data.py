@@ -316,6 +316,21 @@ def test_wav_odd_data_chunk_before_fmt(tmp_path):
     np.testing.assert_allclose(audio[:, 0], (np.array([128, 255, 0]) - 128) / 128.0)
 
 
+def test_wav_write_nonfinite_raises(tmp_path):
+    """NaN/Inf audio must fail loudly: np.round(nan)->int16 writes garbage
+    PCM silently, and a diverged model shipping corrupt WAVs is worse than
+    an error (found by fuzzing)."""
+    from waveunet_tpu.data.audio_io import write_wav
+
+    for val in (np.nan, np.inf, -np.inf):
+        with pytest.raises(ValueError, match="non-finite"):
+            write_wav(str(tmp_path / "x.wav"),
+                      np.full((10, 1), val, np.float32), 8000)
+    # finite extremes still write fine (clipped)
+    write_wav(str(tmp_path / "ok.wav"),
+              np.full((10, 1), 1e30, np.float32), 8000)
+
+
 def test_wav_malformed_inputs_raise_valueerror(tmp_path):
     """`predict input_path=` accepts arbitrary user files: every malformed
     WAV must surface as a clean ValueError, never a bare ZeroDivisionError

@@ -92,6 +92,12 @@ def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "PCM_16"):
     audio = np.asarray(audio)
     if audio.ndim == 1:
         audio = audio[:, None]
+    if np.issubdtype(audio.dtype, np.floating) \
+            and not np.isfinite(audio).all():
+        # np.round(nan)*32767 -> astype(i2) writes garbage PCM silently; a
+        # diverged model or broken pipeline should fail loudly, not ship a
+        # corrupt WAV (found by fuzzing)
+        raise ValueError(f"non-finite samples in audio for {path!r}")
     if subtype == "PCM_16":
         pcm = np.clip(audio, -1.0, 1.0)
         pcm = np.round(pcm * 32767.0).astype("<i2")
