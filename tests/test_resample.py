@@ -68,3 +68,17 @@ def test_device_matches_host_nonzero_group_delay():
         assert y_dev.shape == y_host.shape
         np.testing.assert_allclose(y_dev, y_host, atol=2e-3,
                                    err_msg=f"{orig}->{new}")
+
+
+def test_resample_rejects_nonpositive_rates():
+    """Negative rates otherwise sail through Fraction() and return garbage;
+    zero divides inside the filter design (found by fuzzing)."""
+    import pytest
+
+    from waveunet_tpu.ops.resample import resample, resample_jnp
+
+    a = np.zeros((10, 1), np.float32)
+    for fn in (resample, resample_jnp):
+        for orig, new in [(0, 8000), (8000, 0), (-1, 8000), (8000, -5)]:
+            with pytest.raises(ValueError, match="positive"):
+                fn(a, orig, new)

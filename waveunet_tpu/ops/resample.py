@@ -56,6 +56,11 @@ def resample(audio: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
     Uses the native C++ polyphase kernel when built (identical taps/math);
     falls back to scipy's upfirdn otherwise.
     """
+    if orig_sr <= 0 or new_sr <= 0:
+        # negative rates otherwise sail through Fraction() and return
+        # garbage; zero divides inside the filter design (found by fuzzing)
+        raise ValueError(f"sample rates must be positive, got "
+                         f"{orig_sr} -> {new_sr}")
     if orig_sr == new_sr:
         return np.asarray(audio, np.float32)
 
@@ -93,6 +98,10 @@ def resample_jnp(audio, orig_sr: int, new_sr: int):
     """
     import jax
     import jax.numpy as jnp
+
+    if orig_sr <= 0 or new_sr <= 0:
+        raise ValueError(f"sample rates must be positive, got "
+                         f"{orig_sr} -> {new_sr}")
 
     if orig_sr == new_sr:
         return audio
