@@ -360,6 +360,31 @@ def test_resident_sweep_matches_host_stitch(rng, wire, n_win):
                                    err_msg=s)
 
 
+@pytest.mark.parametrize("wire", ["float32", "int16"])
+def test_nonfinite_model_output_not_laundered(rng, wire, tmp_path):
+    """A diverged model (NaN output) must surface as NaN on BOTH wire
+    dtypes — the int16 cast otherwise launders NaN into finite garbage PCM
+    (round-5 review finding). write_wav then rejects it loudly."""
+    from waveunet_tpu.data.audio_io import write_wav
+
+    cfg = get_config("baseline", num_layers=3, num_frames=256, infer_batch=2,
+                     infer_num_frames=None, infer_wire_dtype=wire)
+    in_len, out_len = shapes.get_padding(cfg, cfg.num_frames)
+    params = init_waveunet(jax.random.PRNGKey(0), cfg)
+
+    def nan_forward(p, x):
+        v = jnp.full((x.shape[0], out_len, cfg.num_channels), jnp.nan)
+        return {s: v for s in cfg.source_names}
+
+    sep = Separator(cfg, params, forward_fn=nan_forward)
+    audio = (0.1 * rng.standard_normal((out_len * 3, 1))).astype(np.float32)
+    out = sep.separate(audio, cfg.expected_sr)
+    for s in cfg.source_names:
+        assert np.isnan(out[s]).all(), (wire, s)
+        with pytest.raises(ValueError, match="non-finite"):
+            write_wav(str(tmp_path / f"{s}.wav"), out[s], cfg.expected_sr)
+
+
 def test_resident_sweep_chunk_sizes_override(rng):
     """The explicit chunk_sizes override (tools/engine_probe.py's pow2split
     A/B) matches the production schedule's output for any covering schedule

@@ -18,20 +18,26 @@ import numpy as np
 PEAK_BF16_TFLOPS = 197.0
 
 
-def flops_of(lowerable, *args) -> float:
-    """Logical FLOPs of one call of a jitted fn via XLA cost analysis.
+def cost_analysis_of(lowerable, *args) -> dict:
+    """XLA cost analysis of one call of a jitted fn ({'flops', 'bytes
+    accessed', ...}).
 
     Lowers with ShapeDtypeStructs (live buffers may have been donated by
-    timed dispatches — CLAUDE.md aliasing hazard) and tolerates the
-    list-wrapped cost_analysis some backends return. Raises if the backend
-    exposes no cost analysis; callers fall back to a recorded constant.
+    timed dispatches — CLAUDE.md aliasing hazard; abstract args also skip
+    re-staging them) and tolerates the list-wrapped cost_analysis some
+    backends return. Raises if the backend exposes no cost analysis;
+    callers fall back to a recorded constant / CPU-subprocess measurement.
     """
     import jax
     abs_args = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args)
     ca = lowerable.lower(*abs_args).compile().cost_analysis()
-    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-    return float(ca["flops"])
+    return ca[0] if isinstance(ca, (list, tuple)) else ca
+
+
+def flops_of(lowerable, *args) -> float:
+    """Logical FLOPs of one call of a jitted fn via XLA cost analysis."""
+    return float(cost_analysis_of(lowerable, *args)["flops"])
 
 
 def make_bench_song(sr: int, seconds: float = 60.0) -> np.ndarray:

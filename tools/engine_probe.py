@@ -84,7 +84,7 @@ def main():
     positions = window_positions(n_total, sep.out_len).astype(np.int32)
     n_win = int(positions.shape[0])
     pow2_sizes = sep._chunk_sizes(n_win)
-    prod_sizes = [n_win] if n_win < cfg.infer_batch else pow2_sizes
+    prod_sizes = sep.resident_chunk_sizes(n_win)  # the engine's own rule
     rec = {"preset": preset, "platform": jax.devices()[0].platform,
            "n_win": n_win, "chunks": prod_sizes, "pow2_chunks": pow2_sizes,
            "out_len": sep.out_len}

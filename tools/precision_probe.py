@@ -208,10 +208,13 @@ def main():
         s_step = best_pipelined_s(dispatch_step, k=8, reps=2 if quick else 4)
         rec["step_ms"] = round(1e3 * s_step, 2)
 
-        # --- FLOP accounting ---
+        # --- FLOP accounting (shared lower/compile/cost-analysis helper:
+        # tools/benchutil.cost_analysis_of; it lowers with ShapeDtypeStructs
+        # because the live buffers were DONATED by the timed dispatches
+        # above and may be deleted) ---
+        from tools.benchutil import cost_analysis_of
         try:
-            ca = fwd.lower(params0, x_fwd).compile().cost_analysis()
-            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            ca = cost_analysis_of(fwd, params0, x_fwd)
             fwd_flops = float(ca["flops"])
             rec["flops_source"] = "device"
             # HBM-bandwidth roof: if extra MXU passes are ~free the model is
@@ -228,15 +231,9 @@ def main():
             rec["flops_source"] = "cpu-subprocess"
         try:
             if rec["flops_source"] == "device":
-                # abstract args: the live buffers were DONATED by the timed
-                # dispatches above and may be deleted
-                absarg = lambda t: jax.tree_util.tree_map(  # noqa: E731
-                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
                 opt_t = jax.eval_shape(init_opt, params0)
-                ca2 = step.lower(absarg(params0), {}, opt_t, absarg(batch),
-                                 jax.ShapeDtypeStruct((2,), jnp.uint32)
-                                 ).compile().cost_analysis()
-                ca2 = ca2[0] if isinstance(ca2, (list, tuple)) else ca2
+                ca2 = cost_analysis_of(step, params0, {}, opt_t, batch,
+                                       np.zeros((2,), np.uint32))
                 step_flops = float(ca2["flops"])
             else:
                 raise RuntimeError("use cpu")

@@ -48,14 +48,21 @@ def write_song(path: str, tracks: Dict[str, np.ndarray]):
 
 def load_song(path: str) -> Dict[str, np.ndarray]:
     # A shard that prepared cleanly can still rot on disk (partial write on
-    # a crash mid-copy, bit flips); np.load surfaces that as zipfile/pickle
-    # internals (BadZipFile, EOFError, ...) with no path. Normalise to a
-    # ValueError naming the shard so callers can skip-and-warn uniformly
-    # (pipeline reader, device banks) — found by fuzzing.
+    # a crash mid-copy, bit flips); np.load surfaces that as zipfile/zlib
+    # internals (BadZipFile, EOFError, ...) with no path. Normalise the
+    # CORRUPTION signatures to a ValueError naming the shard so callers can
+    # skip-and-warn uniformly (pipeline reader, device banks) — found by
+    # fuzzing. Environmental failures (FileNotFoundError, PermissionError,
+    # MemoryError, NFS outages) propagate untouched: skipping those would
+    # silently shrink the training set over a storage problem.
+    import pickle
+    import zipfile
+    import zlib
     try:
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
-    except Exception as e:
+    except (zipfile.BadZipFile, zlib.error, EOFError, KeyError,
+            pickle.UnpicklingError, ValueError) as e:
         raise ValueError(f"corrupt cache shard {path!r}: {e}") from e
 
 

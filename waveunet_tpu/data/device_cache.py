@@ -161,11 +161,13 @@ class DeviceBank:
         chunks: List[np.ndarray] = []
         starts, valids = [], []
         offset = 0
+        n_corrupt = 0
         for p in paths:
             try:
                 tracks = cache.load_song(p)
             except ValueError as e:  # rotted shard: skip like the pipeline
                 print(f"WARNING: {e}; skipping")
+                n_corrupt += 1
                 continue
             length = tracks["mix"].shape[0]
             if length < input_len:
@@ -179,8 +181,9 @@ class DeviceBank:
         if not chunks:
             raise ValueError("no song long enough for the input window")
         _check_int32_addressable(offset, "device bank")
-        if len(starts) < len(paths):
-            print(f"WARNING: device bank dropped {len(paths) - len(starts)} "
+        n_short = len(paths) - len(starts) - n_corrupt
+        if n_short:
+            print(f"WARNING: device bank dropped {n_short} "
                   f"of {len(paths)} songs shorter than the "
                   f"{input_len}-sample network input")
         bank = np.concatenate(chunks, axis=1)  # [S, total, C]

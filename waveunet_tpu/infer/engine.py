@@ -131,9 +131,16 @@ class Separator:
             out = forward_fn(params, wins)
             if wire == "int16":
                 # quantise on device: halves the D2H wire (lossless vs the
-                # PCM16 output WAVs)
-                out = {k: jnp.round(jnp.clip(v, -1.0, 1.0) * 32767.0
-                                    ).astype(jnp.int16)
+                # PCM16 output WAVs). NaN/Inf must NOT be laundered into
+                # finite garbage by the int16 cast (the float wire carries
+                # them to write_wav's non-finite guard; this wire must fail
+                # the same way): clip() keeps the range in [-32767, 32767],
+                # so INT16_MIN is free as a non-finite sentinel that the
+                # host dequant turns back into NaN.
+                out = {k: jnp.where(
+                    jnp.isfinite(v),
+                    jnp.round(jnp.clip(v, -1.0, 1.0) * 32767.0),
+                    jnp.float32(-32768)).astype(jnp.int16)
                        for k, v in out.items()}
             return out
 
@@ -223,6 +230,16 @@ class Separator:
                 _run_one(slab, k, "slab")
         return count
 
+    def resident_chunk_sizes(self, n_win: int):
+        """The chunk schedule `resident_sweep` runs for an ``n_win``-window
+        song: one exact chunk for a single-device sub-batch song (the
+        latency-floor regime — see `resident_sweep`'s docstring), the pow2
+        split tail otherwise. The ONE place the rule lives; tools/
+        engine_probe.py records and A/Bs against it."""
+        if self.mesh is None and n_win < self.batch:
+            return [n_win]
+        return self._chunk_sizes(n_win)
+
     def resident_sweep(self, n_total: int, chunk_sizes=None):
         """ONE jitted program sweeping a whole DEVICE-RESIDENT padded song:
         on-device framing, every window through the batched forward (equal-
@@ -267,10 +284,8 @@ class Separator:
             if sum(sizes) < n_win:
                 raise ValueError(f"chunk_sizes {sizes} cover {sum(sizes)} "
                                  f"< {n_win} windows")
-        elif self.mesh is None and n_win < self.batch:
-            sizes = [n_win]  # latency-bound single-tail song (see docstring)
         else:
-            sizes = self._chunk_sizes(n_win)
+            sizes = self.resident_chunk_sizes(n_win)
         pos_pad = np.full((sum(sizes),), positions[-1], np.int32)
         pos_pad[:n_win] = positions
         groups = []  # equal-size runs of the chunk schedule: (k, count)
@@ -300,7 +315,11 @@ class Separator:
 
             def stitch(w):
                 if w.dtype == jnp.int16:  # dequant-then-stitch == the host
-                    w = w.astype(jnp.float32) / 32767.0  # stitch-then-dequant
+                    # INT16_MIN = chunk_fwd's non-finite sentinel -> NaN,
+                    # matching the host dequant (a diverged model poisons
+                    # the checksum instead of reading as finite audio)
+                    w = jnp.where(w == -32768, jnp.nan,
+                                  w.astype(jnp.float32) / 32767.0)
                 buf = jnp.zeros((n_total, w.shape[2]), jnp.float32)
 
                 def body(i, b):  # writes in window order: later writes win
@@ -494,7 +513,16 @@ class Separator:
                     p = int(positions[wi])
                     buf[p:p + self.out_len] = host[b]
                     wi += 1
-            out[name] = (buf.astype(np.float32) / 32767.0) if wire16 else buf
+            if wire16:
+                # INT16_MIN is the device quantiser's non-finite sentinel
+                # (chunk_fwd): turn it back into NaN so a diverged model
+                # fails at write_wav's guard exactly like the float wire,
+                # instead of shipping laundered garbage PCM.
+                f = buf.astype(np.float32) / 32767.0
+                f[buf == -32768] = np.nan
+                out[name] = f
+            else:
+                out[name] = buf
         return out
 
 

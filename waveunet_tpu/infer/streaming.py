@@ -117,8 +117,13 @@ class StreamingSeparator:
                 for i in range(k)])
             out = forward(p, wins)
             if wire16:
-                out = {s: jnp.round(jnp.clip(v, -1.0, 1.0) * 32767.0
-                                    ).astype(jnp.int16)
+                # INT16_MIN = non-finite sentinel, same contract as the
+                # offline engine's chunk_fwd (NaN must not be laundered
+                # into finite garbage by the int16 cast)
+                out = {s: jnp.where(
+                    jnp.isfinite(v),
+                    jnp.round(jnp.clip(v, -1.0, 1.0) * 32767.0),
+                    jnp.float32(-32768)).astype(jnp.int16)
                        for s, v in out.items()}
             # advance the ring: the tail beyond `valid` is dead and will be
             # overwritten by future appends before it is ever framed.
@@ -232,7 +237,10 @@ class StreamingSeparator:
                 for s in self.cfg.source_names:
                     v = host[s][i, :take]
                     if self._wire16:
+                        sentinel = v == -32768
                         v = v.astype(np.float32) / 32767.0
+                        if sentinel.any():
+                            v[sentinel] = np.nan
                     outs[s].append(v)
                 self._emitted += take
 
