@@ -207,3 +207,19 @@ def test_stream_spectrogram_matches_offline(rng, batch_windows):
         assert np.all(np.isfinite(got[s]))
         np.testing.assert_allclose(got[s][:n_cmp], want[s][:n_cmp],
                                    atol=1e-5, err_msg=s)
+
+
+def test_stream_nonfinite_output_not_laundered(setup):
+    """Streaming's int16 drain shares the offline engine's non-finite
+    sentinel contract: NaN params (a diverged model) must surface as NaN
+    chunks, not be laundered into finite garbage by the int16 cast."""
+    cfg, params, audio = setup
+    cfg16 = cfg.replace(infer_wire_dtype="int16")
+    bad = jax.tree.map(lambda a: np.full_like(a, np.nan), params)
+    stream = StreamingSeparator(cfg16, bad)
+    outs = [stream.push(audio[:512]), stream.flush()]
+    for out in outs:
+        for s in cfg.source_names:
+            if out[s].size:
+                assert np.isnan(out[s]).all(), s
+    assert sum(o[cfg.source_names[0]].shape[0] for o in outs) == 512
