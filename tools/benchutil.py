@@ -66,15 +66,39 @@ def stage_resident_song(sep, song_np: np.ndarray):
     return jax.device_put(jnp.asarray(padded))
 
 
-def resident_rtf(res_fn, params, song_dev, seconds: float, k: int = 4
+def resident_rtf(res_fn, params, song_dev, seconds: float, k: int | None = None
                  ) -> float:
     """Warm (compile) then time a ``resident_sweep`` program under the
     standard pipelined value-fetch discipline; returns audio-s/s. One copy
     of this harness (flagship + family rows in bench.py) — hand-rolled
-    duplicates desynchronise, see module docstring."""
+    duplicates desynchronise, see module docstring.
+
+    ``k=None`` (default) sizes the pipelined batch via ``pick_k`` (see its
+    docstring for why fixed k=4 mis-measured dispatch-floor programs).
+    """
     float(res_fn(params, song_dev)[1])  # compile + warm
+    if k is None:
+        k = pick_k(lambda: float(res_fn(params, song_dev)[1]))
     best = best_pipelined_s(lambda: res_fn(params, song_dev)[1], k=k)
     return seconds / best
+
+
+def pick_k(synced_call, target_s: float = 0.3) -> int:
+    """Pipelined batch size from one timed SYNCED call: cover >=~`target_s`
+    per timing batch, clamped to [4, 32].
+
+    The per-batch sync overhead (final value-fetch round trip + timer
+    jitter, ~15 ms on the axon tunnel) divides by k. A fixed k=4 left it at
+    ~3.7 ms/call — noise for a 54 ms flagship program but a ~40% inflation
+    for the ~5 ms U7 resident program (read 8.8 ms; k~32 reads 4.95 ms,
+    engine_probe round 5). Long programs still land on the k=4 floor, so
+    flagship/M6 rows stay comparable with earlier rounds. `synced_call`
+    must dispatch ONE warmed device program and block on its value.
+    """
+    t0 = time.perf_counter()
+    synced_call()
+    est = max(time.perf_counter() - t0, 1e-4)
+    return max(4, min(32, round(target_s / est)))
 
 
 def best_pipelined_s(dispatch, k: int, reps: int = 3) -> float:
