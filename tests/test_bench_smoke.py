@@ -49,3 +49,21 @@ def test_bench_smoke_schema():
     # CPU exposes cost analysis, so the live-FLOP path itself is exercised
     assert rec["flagship_flops_source"] == "cost-analysis"
     assert rec["e2e_reps"] >= 2
+
+
+def test_pick_k_contract():
+    """pick_k sizes the pipelined timing batch from one synced call: cover
+    >=~0.3 s per batch, clamped to [4, 32] (tools/benchutil.pick_k — the
+    fix for fixed k=4 reading dispatch-floor programs ~75% slow)."""
+    import time
+
+    sys.path.insert(0, REPO)
+    from tools.benchutil import pick_k
+
+    calls = []
+    k = pick_k(lambda: (calls.append(1), time.sleep(0.02))[-1])
+    assert calls == [1]          # exactly one estimating call
+    assert 10 <= k <= 32         # ~0.3 s / ~0.02-0.03 s per call
+
+    assert pick_k(lambda: time.sleep(0.2)) == 4    # long programs -> floor
+    assert pick_k(lambda: None) == 32              # instant -> ceiling
