@@ -52,18 +52,60 @@ def test_bench_smoke_schema():
 
 
 def test_pick_k_contract():
-    """pick_k sizes the pipelined timing batch from one synced call: cover
-    >=~0.3 s per batch, clamped to [4, 32] (tools/benchutil.pick_k — the
-    fix for fixed k=4 reading dispatch-floor programs ~75% slow)."""
-    import time
-
+    """pick_k: cover >=~0.3 s per timing batch, clamped to [4, 32]."""
     sys.path.insert(0, REPO)
     from tools.benchutil import pick_k
 
-    calls = []
-    k = pick_k(lambda: (calls.append(1), time.sleep(0.02))[-1])
-    assert calls == [1]          # exactly one estimating call
-    assert 10 <= k <= 32         # ~0.3 s / ~0.02-0.03 s per call
+    assert pick_k(0.02) == 15
+    assert pick_k(0.2) == 4      # long programs -> floor
+    assert pick_k(1.0) == 4
+    assert pick_k(0.0) == 32     # instant -> ceiling (est clamped)
+    assert pick_k(1e-9) == 32
 
-    assert pick_k(lambda: time.sleep(0.2)) == 4    # long programs -> floor
-    assert pick_k(lambda: None) == 32              # instant -> ceiling
+
+def test_best_pipelined_adaptive_sizing(monkeypatch):
+    """best_pipelined(k=None) two-stage sizing, on a fake clock so the
+    contract is deterministic under CI load: the synced single-call
+    estimate (program + sync overhead) picks a provisional k, then the
+    first batch's overhead-amortised per-call time re-sizes it — the fix
+    for fixed k=4 reading dispatch-floor programs ~75% slow
+    (tools/benchutil round 5)."""
+    import time as time_mod
+
+    sys.path.insert(0, REPO)
+    from tools import benchutil
+
+    clock = {"t": 0.0}
+    monkeypatch.setattr(benchutil.time, "perf_counter",
+                        lambda: clock["t"], raising=True)
+    assert time_mod.perf_counter is benchutil.time.perf_counter  # same module
+
+    def make_dispatch(prog_s, ovh_s):
+        # Device programs serialise (each dispatch accrues prog_s of device
+        # time); only the final value fetch pays the sync overhead.
+        class Scalar:
+            def __float__(self):
+                clock["t"] += ovh_s
+                return 0.0
+
+        def dispatch():
+            clock["t"] += prog_s
+            return Scalar()
+        return dispatch
+
+    # Dispatch-floor program: single-call est 5+15=20 ms -> provisional
+    # k=15; first batch per-call 5+1=6 ms -> refined k=32 (clamp).
+    best, k = benchutil.best_pipelined(make_dispatch(0.005, 0.015))
+    assert k == 32
+    assert abs(best - (0.005 + 0.015 / 32)) < 1e-9
+
+    # Long program lands on the k=4 floor both passes; the refining batch
+    # is kept as a scored rep.
+    best, k = benchutil.best_pipelined(make_dispatch(0.2, 0.015))
+    assert k == 4
+    assert abs(best - (0.2 + 0.015 / 4)) < 1e-9
+
+    # Explicit k bypasses sizing entirely.
+    best, k = benchutil.best_pipelined(make_dispatch(0.005, 0.015), k=8)
+    assert k == 8
+    assert abs(best - (0.005 + 0.015 / 8)) < 1e-9

@@ -73,51 +73,73 @@ def resident_rtf(res_fn, params, song_dev, seconds: float, k: int | None = None
     of this harness (flagship + family rows in bench.py) — hand-rolled
     duplicates desynchronise, see module docstring.
 
-    ``k=None`` (default) sizes the pipelined batch via ``pick_k`` (see its
-    docstring for why fixed k=4 mis-measured dispatch-floor programs).
+    ``k=None`` (default) sizes the pipelined batch adaptively — see
+    ``best_pipelined``.
     """
     float(res_fn(params, song_dev)[1])  # compile + warm
-    if k is None:
-        k = pick_k(lambda: float(res_fn(params, song_dev)[1]))
     best = best_pipelined_s(lambda: res_fn(params, song_dev)[1], k=k)
     return seconds / best
 
 
-def pick_k(synced_call, target_s: float = 0.3) -> int:
-    """Pipelined batch size from one timed SYNCED call: cover >=~`target_s`
-    per timing batch, clamped to [4, 32].
+def pick_k(est_s: float, target_s: float = 0.3) -> int:
+    """Pipelined batch size for an estimated `est_s` per-call cost: cover
+    >=~`target_s` per timing batch, clamped to [4, 32]."""
+    return max(4, min(32, round(target_s / max(est_s, 1e-4))))
 
-    The per-batch sync overhead (final value-fetch round trip + timer
-    jitter, ~15 ms on the axon tunnel) divides by k. A fixed k=4 left it at
-    ~3.7 ms/call — noise for a 54 ms flagship program but a ~40% inflation
-    for the ~5 ms U7 resident program (read 8.8 ms; k~32 reads 4.95 ms,
-    engine_probe round 5). Long programs still land on the k=4 floor, so
-    flagship/M6 rows stay comparable with earlier rounds. `synced_call`
-    must dispatch ONE warmed device program and block on its value.
+
+def best_pipelined(dispatch, k: int | None = None, reps: int = 3
+                   ) -> tuple:
+    """Best-of-`reps` per-call seconds for `k` pipelined dispatches;
+    returns ``(best_per_call_s, k)``.
+
+    `dispatch()` must enqueue ONE warmed device program and return a jax
+    scalar. Only the LAST call's value is fetched: device execution is
+    in-order, so that scalar's arrival bounds all k programs, while the
+    k-1 unfetched calls pipeline behind it — amortising the per-dispatch
+    tunnel latency. The fetch is a VALUE fetch (float()), not
+    block_until_ready: the axon client's block_until_ready has been
+    observed returning without syncing (CLAUDE.md hazard); a scalar D2H
+    cannot lie.
+
+    ``k=None`` sizes the batch adaptively (``pick_k``: cover >=~0.3 s per
+    batch, clamp [4, 32]). A fixed k=4 left the per-batch sync overhead
+    (final value-fetch round trip + timer jitter, ~4-15 ms here) at
+    ~3.7 ms/call — noise for the 54 ms flagship program, but a ~75%
+    inflation on the ~5 ms U7 resident program (read 8.8 ms; adaptive k
+    reads 5.05, engine_probe round 5). Two-stage sizing: a synced single
+    call bounds per-call cost from ABOVE (it includes the very sync
+    overhead this loop amortises, so it undersizes k for dispatch-floor
+    programs, and one tunnel-noise spike would skew it); the first timed
+    batch at that provisional k then yields an overhead-amortised
+    estimate from which k is re-sized before the scored reps. The 54 ms
+    flagship program lands on the k=4 floor either way, so its rows stay
+    comparable with rounds 1-4; M6 (~37 ms) sizes to k~6-8 and its row
+    read +3% higher on the switch (CLAUDE.md round-5 notes).
     """
-    t0 = time.perf_counter()
-    synced_call()
-    est = max(time.perf_counter() - t0, 1e-4)
-    return max(4, min(32, round(target_s / est)))
-
-
-def best_pipelined_s(dispatch, k: int, reps: int = 3) -> float:
-    """Best-of-`reps` per-call seconds for `k` pipelined dispatches.
-
-    `dispatch()` must enqueue ONE device program and return a jax scalar.
-    Only the LAST call's value is fetched: device execution is in-order, so
-    that scalar's arrival bounds all k programs, while the k-1 unfetched
-    calls pipeline behind it — amortising the per-dispatch tunnel latency.
-    The fetch is a VALUE fetch (float()), not block_until_ready: the axon
-    client's block_until_ready has been observed returning without syncing
-    (CLAUDE.md hazard); a scalar D2H cannot lie.
-    """
-    best = None
-    for _ in range(reps):
+    def one_batch(kk):
         t0 = time.perf_counter()
-        for _ in range(k):
+        for _ in range(kk):
             cs = dispatch()
         float(cs)
-        dt = (time.perf_counter() - t0) / k
+        return (time.perf_counter() - t0) / kk
+
+    best = None
+    if k is None:
+        t0 = time.perf_counter()
+        float(dispatch())
+        k = pick_k(time.perf_counter() - t0)
+        first = one_batch(k)
+        refined = pick_k(first)
+        if refined == k:  # the refining batch already ran at the final k
+            best = first
+            reps -= 1
+        k = refined
+    for _ in range(max(reps, 1)):
+        dt = one_batch(k)
         best = dt if best is None else min(best, dt)
-    return best
+    return best, k
+
+
+def best_pipelined_s(dispatch, k: int | None = None, reps: int = 3) -> float:
+    """``best_pipelined`` without the chosen-k return (most callers)."""
+    return best_pipelined(dispatch, k=k, reps=reps)[0]

@@ -57,7 +57,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
-    from tools.benchutil import (best_pipelined_s, make_bench_song, pick_k,
+    from tools.benchutil import (best_pipelined_s, make_bench_song,
                                  resident_rtf, stage_resident_song)
     from waveunet_tpu.config import get_config
     from waveunet_tpu.infer.engine import Separator, window_positions
@@ -100,10 +100,7 @@ def main():
             return sum(jnp.sum(v.astype(jnp.float32)) for v in outs.values())
         jit_fn = jax.jit(fn)
         float(jit_fn(params, song_dev))  # compile + warm
-        s = best_pipelined_s(lambda: jit_fn(params, song_dev),
-                             k=pick_k(lambda: float(jit_fn(params,
-                                                           song_dev))))
-        return s
+        return best_pipelined_s(lambda: jit_fn(params, song_dev))
 
     for b in sorted({1, 4, n_win, cfg.infer_batch}):
         s = fwd_checksum(b)
@@ -142,8 +139,7 @@ def main():
         return total
     ns_fn = jax.jit(nostitch)
     float(ns_fn(params, song_dev))
-    s = best_pipelined_s(lambda: ns_fn(params, song_dev),
-                         k=pick_k(lambda: float(ns_fn(params, song_dev))))
+    s = best_pipelined_s(lambda: ns_fn(params, song_dev))
     rec["nostitch_ms"] = round(s * 1e3, 2)
     rec["nostitch_audio_s_per_s"] = round(seconds / s, 1)
 

@@ -42,7 +42,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
-    from tools.benchutil import best_pipelined_s, make_bench_song, pick_k
+    from tools.benchutil import (best_pipelined, best_pipelined_s,
+                                 make_bench_song)
     from waveunet_tpu.config import get_config
     from waveunet_tpu.models.waveunet import apply_waveunet, init_waveunet
     from waveunet_tpu.ops import shapes
@@ -82,8 +83,7 @@ def main():
         rec["forward_ms"] = round(best * 1e3, 3)
         # pipelined: K async dispatches, one final sync — amortises the
         # ~6-8 ms per-dispatch tunnel latency the engine also hides
-        k = pick_k(lambda: float(fwd(params, x)))
-        best_p = best_pipelined_s(lambda: fwd(params, x), k=k)
+        best_p, k = best_pipelined(lambda: fwd(params, x))
         rec["pipeline_k"] = k
         rec["forward_pipelined_ms"] = round(best_p * 1e3, 3)
         rec["audio_s_per_s"] = round(batch * out_len / sr / best_p, 1)
@@ -132,8 +132,7 @@ def main():
         rec["n_windows"] = int(positions.shape[0])
         rec["sweep_in_len"] = sep.in_len
         rec["sweep_out_len"] = sep.out_len
-        k = pick_k(lambda: float(res_fn(params, song_dev)[1]))
-        best = best_pipelined_s(lambda: res_fn(params, song_dev)[1], k=k)
+        best, k = best_pipelined(lambda: res_fn(params, song_dev)[1])
         rec["pipeline_k"] = k
         rec["sweep_s"] = round(best, 4)
         rec["audio_s_per_s"] = round(seconds / best, 1)
