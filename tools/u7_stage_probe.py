@@ -1,6 +1,14 @@
 """Stage-split timing for the U7 spectrogram model on the real chip:
 STFT front-end vs per-source 2-D U-Nets vs iSTFT reconstruction.
 
+SUPERSEDED for absolute numbers by tools/engine_probe.py: this probe
+syncs via block_until_ready, which the axon client has been observed
+returning from WITHOUT syncing (CLAUDE.md hazard), so treat its absolute
+ms as suspect — the round-2 relative verdict it established (gather/
+scatter framing was 2/3 of the forward; strip-form reshapes fixed it)
+stands, but the trustworthy value-fetch-synced stage economics live in
+engine_probe's records (.probes/u7_engine.jsonl).
+
 Motivation: ops/stft.py frames with an index-matrix gather and overlap-adds
 with a scatter-add — both patterns TPUs handle poorly. If they are a
 meaningful share of U7's forward, both have pure reshape/pad formulations
