@@ -98,7 +98,7 @@ def main():
                       os.path.join(repo, ".jax_cache"))
     import jax.numpy as jnp
 
-    from tools.benchutil import best_pipelined_s
+    from tools.benchutil import best_pipelined
     from waveunet_tpu.compat.tf_checkpoint import load_tf_waveunet
     from waveunet_tpu.config import get_config
     from waveunet_tpu.models.waveunet import apply_waveunet, init_waveunet
@@ -180,9 +180,10 @@ def main():
         t0 = time.perf_counter()
         float(fwd(params0, x_fwd))  # compile + warm
         rec["fwd_compile_s"] = round(time.perf_counter() - t0, 1)
-        s_fwd = best_pipelined_s(lambda: fwd(params0, x_fwd), k=8,
-                                 reps=2 if quick else 4)
+        s_fwd, k_fwd = best_pipelined(lambda: fwd(params0, x_fwd),
+                                      reps=2 if quick else 4)
         rec["fwd_ms"] = round(1e3 * s_fwd, 2)
+        rec["fwd_pipeline_k"] = k_fwd
         rec["fwd_audio_s_per_s"] = round(16 * win_out / cfg.expected_sr
                                          / s_fwd, 1)
 
@@ -205,8 +206,10 @@ def main():
         t0 = time.perf_counter()
         float(dispatch_step())  # compile + warm
         rec["step_compile_s"] = round(time.perf_counter() - t0, 1)
-        s_step = best_pipelined_s(dispatch_step, k=8, reps=2 if quick else 4)
+        s_step, k_step = best_pipelined(dispatch_step,
+                                        reps=2 if quick else 4)
         rec["step_ms"] = round(1e3 * s_step, 2)
+        rec["step_pipeline_k"] = k_step
 
         # --- FLOP accounting (shared lower/compile/cost-analysis helper:
         # tools/benchutil.cost_analysis_of; it lowers with ShapeDtypeStructs
